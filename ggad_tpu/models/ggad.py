@@ -1,0 +1,87 @@
+"""GGAD: generative semi-supervised graph anomaly detection (full-batch).
+
+TPU-native re-design of the reference centerpiece (``model.py:108-191``):
+
+  * 2-layer GCN encoder (n_in → n_h → n_h, PReLU) over a *sparse* Â.
+  * Outlier generation: for each "sacrificial" seed node s,
+      - target   emb_abnormal[s] = emb[s] + N(mean, std)        (``model.py:141-144``)
+      - generated emb_con[s]     = ReLU(fc4((Â @ emb)[s]))      (``model.py:151-156``)
+    i.e. the generated outlier is the transformed aggregate of s's
+    neighborhood in embedding space.
+  * One-class MLP head scores [emb[normal] ‖ emb_con]            (``model.py:159,176-181``)
+  * The seed rows of the returned embedding are functionally replaced by
+    the generated outliers (the reference does this with an in-place write
+    at ``model.py:182``; here it is `emb.at[seed].set(...)`, which carries
+    the identical gradient).
+
+The reference Model also declares gcn3 / fc5 / fc6 / readouts / a bilinear
+discriminator that its forward never uses (dead code, see SURVEY.md §2);
+those components live in ``ggad_tpu.nn.layers`` but are intentionally not
+part of this module.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ggad_tpu.graph import Graph
+from ggad_tpu.nn.layers import DenseNoBias, GCNLayer, MLPHead
+from ggad_tpu.ops.spmm import spmm
+
+
+class GGADOutput(NamedTuple):
+    emb: jax.Array           # [N, n_h] embeddings (seed rows replaced in train)
+    emb_combine: jax.Array   # [Nn+S, n_h] (train) — head input
+    logits: jax.Array        # [Nn+S, 1] (train) / [N, 1] (eval)
+    emb_con: jax.Array       # [S, n_h] generated outliers (train)
+    emb_abnormal: jax.Array  # [S, n_h] perturbed seed embeddings
+
+
+class GGAD(nn.Module):
+    """Flagship model. ``n_h`` defaults to the reference's 300."""
+
+    n_h: int = 300
+    noise_mean: float = 0.0
+    noise_std: float = 0.0   # reference calls this "var" but multiplies it
+                             # directly as a scale (``model.py:143``)
+    spmm_impl: str = "auto"
+
+    def setup(self):
+        self.gcn1 = GCNLayer(self.n_h, act="prelu", spmm_impl=self.spmm_impl)
+        self.gcn2 = GCNLayer(self.n_h, act="prelu", spmm_impl=self.spmm_impl)
+        self.head = MLPHead(hidden=(self.n_h // 2, self.n_h // 4), out=1)
+        self.fc4 = DenseNoBias(self.n_h)
+
+    def encode(self, adj: Graph, x: jax.Array) -> jax.Array:
+        return self.gcn2(adj, self.gcn1(adj, x))
+
+    def __call__(self, adj: Graph, x: jax.Array, seed_idx: jax.Array,
+                 normal_idx: jax.Array, train: bool = True) -> GGADOutput:
+        emb = self.encode(adj, x)
+
+        # Perturbed seed embeddings (the ego-closeness target).
+        noise = (jax.random.normal(self.make_rng("noise"),
+                                   (seed_idx.shape[0], self.n_h))
+                 * self.noise_std + self.noise_mean)
+        emb_abnormal = emb[seed_idx] + noise
+
+        if train:
+            # Generated outliers from neighborhood aggregates:
+            # (Â @ emb)[seed] == adj[seed, :] @ emb  (reference model.py:151-156)
+            agg = spmm(adj, emb, impl=self.spmm_impl)[seed_idx]
+            emb_con = jax.nn.relu(self.fc4(agg))
+            emb_combine = jnp.concatenate([emb[normal_idx], emb_con], axis=0)
+            logits = self.head(emb_combine)
+            # Functional replacement; gradient flows into fc4 and the encoder
+            # exactly like the reference's in-place write (model.py:182).
+            emb = emb.at[seed_idx].set(emb_con)
+        else:
+            emb_con = jnp.zeros((seed_idx.shape[0], self.n_h), emb.dtype)
+            emb_combine = jnp.zeros((0, self.n_h), emb.dtype)
+            logits = self.head(emb)
+
+        return GGADOutput(emb, emb_combine, logits, emb_con, emb_abnormal)

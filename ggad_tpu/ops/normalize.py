@@ -1,0 +1,59 @@
+"""Graph and feature normalization with the reference's exact semantics.
+
+The reference's pipeline (``run.py:96-101``) is load-bearing for parity:
+
+    adj      = D^{-1/2} A D^{-1/2}      (no self-loops during norm!)
+    adj      = adj + I                   (identity added AFTER normalizing)
+    raw_adj  = A + I
+
+and feature row-normalization (``utils.py:37-44``) is applied only to some
+datasets (including a misspelling that skips t_finance — see
+``ggad_tpu.datasets.registry``).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ggad_tpu.graph import Graph, add_self_loops
+
+
+def sym_normalize(g: Graph) -> Graph:
+    """Symmetric normalization Â = D^{-1/2} A D^{-1/2} (device-side).
+
+    Degrees are weighted *row* sums, matching scipy
+    ``adj.sum(1)`` in the reference (``utils.py:50``). Zero-degree rows get
+    d^{-1/2} = 0 (inf-guard), like the reference's isinf clamp.
+    """
+    deg = g.out_degrees()
+    inv_sqrt = jnp.where(deg > 0, jax.lax.rsqrt(deg), 0.0)
+    new_val = g.val * inv_sqrt[g.row] * inv_sqrt[g.col]
+    return g.with_val(new_val)
+
+
+def normalize_adj_reference(g: Graph) -> tuple[Graph, Graph]:
+    """Full reference preprocessing: returns (adj, raw_adj).
+
+      adj     = sym_normalize(A) + I    (reference ``run.py:98-101``)
+      raw_adj = A + I
+
+    Host-side (adds self-loop edges, rebuilding the edge list).
+    """
+    adj_norm = sym_normalize(g)
+    adj = add_self_loops(adj_norm)
+    raw_adj = add_self_loops(g)
+    return adj, raw_adj
+
+
+def row_normalize_features(x: np.ndarray) -> np.ndarray:
+    """D_x^{-1} X row normalization (reference ``utils.py:37-44``).
+
+    Rows with zero sum stay zero (inf-guard). Host-side numpy (runs once at
+    load).
+    """
+    x = np.asarray(x, dtype=np.float32)
+    rowsum = x.sum(axis=1)
+    inv = np.where(rowsum != 0, 1.0 / rowsum, 0.0)
+    return x * inv[:, None]

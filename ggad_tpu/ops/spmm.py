@@ -1,0 +1,55 @@
+"""Sparse matrix × dense matrix (SpMM): out[r] = Σ_e val[e] · X[col[e]].
+
+This is the hot aggregation op of every GCN layer — the reference computes
+it as a dense ``torch.bmm(adj, seq_fts)`` over a densified N×N adjacency
+(reference ``model.py:29-31``). Here the XLA path is gather + sorted
+``segment_sum`` (O(E·d)); the Pallas block-sparse path (``pallas_spmm``)
+maps the same contraction onto the MXU.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ggad_tpu.graph import Graph
+
+
+def spmm_coo(row: jax.Array, col: jax.Array, val: jax.Array,
+             x: jax.Array, n_rows: int, *,
+             rows_sorted: bool = True) -> jax.Array:
+    """COO SpMM via gather + segment_sum. Differentiable in val and x.
+
+    Padding edges must have val == 0 (their gathered row contributes 0).
+    """
+    gathered = x[col] * val[:, None]
+    return jax.ops.segment_sum(
+        gathered, row, num_segments=n_rows, indices_are_sorted=rows_sorted)
+
+
+def spmm(g: Graph, x: jax.Array, *, impl: str = "auto") -> jax.Array:
+    """Compute A @ x for the sparse adjacency held by ``g``.
+
+    Args:
+      g: Graph with sorted-by-row COO edges.
+      x: [N, d] dense feature/embedding matrix.
+      impl: "xla" (segment-sum), "pallas" (TPU block kernel), or "auto".
+    """
+    if impl == "auto":
+        impl = _default_impl()
+    if impl == "pallas":
+        from ggad_tpu.ops.pallas_spmm import bcsr_spmm_graph
+        return bcsr_spmm_graph(g, x)
+    return spmm_coo(g.row, g.col, g.val, x, g.n_nodes)
+
+
+def _default_impl() -> str:
+    # Pallas kernels require a TPU backend; tests run on CPU.
+    try:
+        if jax.default_backend() == "tpu":
+            return "xla"  # XLA scatter-add is the robust default; the
+            # Pallas BCSR path is opt-in per call site until it wins
+            # the bench on every shape (see bench.py).
+    except RuntimeError:
+        pass
+    return "xla"

@@ -1,0 +1,164 @@
+"""Full-batch GGAD training driver (reference ``run.py`` re-designed).
+
+The whole step — forward, three-term loss, backward, Adam — compiles to a
+single XLA program per epoch; no host↔device traffic inside the loop.
+Evaluation is a second jitted program returning per-node scores; metrics
+(AUROC/AP, sklearn-parity) run host-side on the test subset only.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ggad_tpu.datasets.core import GADDataset
+from ggad_tpu.datasets.registry import preset_for
+from ggad_tpu.graph import Graph, from_scipy
+from ggad_tpu.models.ggad import GGAD
+from ggad_tpu.ops.metrics import average_precision, roc_auc
+from ggad_tpu.ops.normalize import normalize_adj_reference
+from ggad_tpu.train.losses import ggad_losses
+
+
+@dataclasses.dataclass
+class TrainResult:
+    params: Any
+    history: list  # list of dicts: epoch, losses, (auc, ap) when evaluated
+    final_auc: float
+    final_ap: float
+    wall_time_s: float
+
+
+@dataclasses.dataclass
+class FullBatchTrainer:
+    """Owns compiled train/eval steps for one dataset + model config."""
+
+    dataset: GADDataset
+    lr: float = 1e-3
+    weight_decay: float = 0.0
+    num_epoch: Optional[int] = None
+    embedding_dim: int = 300
+    noise_mean: Optional[float] = None
+    noise_std: Optional[float] = None
+    confidence_margin: float = 0.7
+    pos_weight: float = 1.0        # negsamp_ratio in the reference
+    seed: int = 0
+    eval_every: int = 10
+    log_every: int = 2
+    spmm_impl: str = "auto"
+    logger: Optional[Callable[[dict], None]] = None
+
+    def __post_init__(self):
+        ds = self.dataset
+        preset = preset_for(ds.name)
+        if self.num_epoch is None:
+            self.num_epoch = preset.num_epoch
+        if self.noise_mean is None:
+            self.noise_mean = preset.noise_mean
+        if self.noise_std is None:
+            self.noise_std = preset.noise_std
+
+        graph = from_scipy(ds.adj)
+        self.adj, self.raw_adj = normalize_adj_reference(graph)
+        self.features = jnp.asarray(ds.features, dtype=jnp.float32)
+        self.seed_idx = jnp.asarray(ds.abnormal_label_idx, dtype=jnp.int32)
+        self.normal_idx = jnp.asarray(ds.normal_label_idx, dtype=jnp.int32)
+
+        self.model = GGAD(n_h=self.embedding_dim,
+                          noise_mean=self.noise_mean,
+                          noise_std=self.noise_std,
+                          spmm_impl=self.spmm_impl)
+        self.tx = optax.adamw(self.lr, weight_decay=self.weight_decay) \
+            if self.weight_decay else optax.adam(self.lr)
+
+        self._train_step = jax.jit(self._train_step_impl, donate_argnums=(0, 1))
+        self._eval_scores = jax.jit(self._eval_scores_impl)
+
+    # ------------------------------------------------------------------
+    def init(self, rng: jax.Array):
+        p_rng, n_rng = jax.random.split(rng)
+        params = self.model.init(
+            {"params": p_rng, "noise": n_rng},
+            self.adj, self.features, self.seed_idx, self.normal_idx,
+            train=True)
+        opt_state = self.tx.init(params)
+        return params, opt_state
+
+    def _train_step_impl(self, params, opt_state, rng):
+        def loss_fn(p):
+            out = self.model.apply(
+                p, self.adj, self.features, self.seed_idx, self.normal_idx,
+                train=True, rngs={"noise": rng})
+            losses = ggad_losses(
+                out, self.raw_adj, self.seed_idx, self.normal_idx,
+                confidence_margin=self.confidence_margin,
+                pos_weight=self.pos_weight)
+            return losses.total, losses
+
+        (_, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = self.tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, losses
+
+    def _eval_scores_impl(self, params, rng):
+        out = self.model.apply(
+            params, self.adj, self.features, self.seed_idx, self.normal_idx,
+            train=False, rngs={"noise": rng})
+        return out.logits[:, 0]
+
+    # ------------------------------------------------------------------
+    def evaluate(self, params, rng=None, subset: str = "test") -> tuple[float, float]:
+        if rng is None:
+            rng = jax.random.PRNGKey(0)
+        scores = np.asarray(self._eval_scores(params, rng))
+        ds = self.dataset
+        idx = {"test": ds.idx_test, "val": ds.idx_val,
+               "train": ds.idx_train}[subset]
+        auc = roc_auc(ds.ano_labels[idx], scores[idx])
+        ap = average_precision(ds.ano_labels[idx], scores[idx])
+        return auc, ap
+
+    def train(self, verbose: bool = False) -> TrainResult:
+        rng = jax.random.PRNGKey(self.seed)
+        rng, init_rng = jax.random.split(rng)
+        params, opt_state = self.init(init_rng)
+
+        history = []
+        t0 = time.time()
+        for epoch in range(self.num_epoch):
+            rng, step_rng = jax.random.split(rng)
+            params, opt_state, losses = self._train_step(
+                params, opt_state, step_rng)
+
+            rec = None
+            if epoch % self.log_every == 0 or epoch == self.num_epoch - 1:
+                rec = {
+                    "epoch": epoch,
+                    "loss": float(losses.total),
+                    "loss_bce": float(losses.bce),
+                    "loss_margin": float(losses.margin),
+                    "loss_rec": float(losses.rec),
+                }
+            if epoch % self.eval_every == 0 or epoch == self.num_epoch - 1:
+                auc, ap = self.evaluate(params)
+                rec = rec or {"epoch": epoch}
+                rec.update({"auc": auc, "ap": ap})
+                if verbose:
+                    print(f"epoch {epoch:4d}  AUROC {auc:.4f}  AP {ap:.4f}  "
+                          f"loss {float(losses.total):.4f}")
+            if rec is not None:
+                history.append(rec)
+                if self.logger is not None:
+                    self.logger(rec)
+
+        wall = time.time() - t0
+        final_auc, final_ap = self.evaluate(params)
+        return TrainResult(params=params, history=history,
+                           final_auc=final_auc, final_ap=final_ap,
+                           wall_time_s=wall)
