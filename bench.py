@@ -1,0 +1,139 @@
+"""Benchmark: full GGAD training step throughput on one chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Workload: a photo-shaped synthetic graph (7,535 nodes / ~119K edges /
+745 attrs — reference ``README.md:57``), embedding dim 300, the full
+3-term GGAD objective (forward + backward + Adam), exactly the per-epoch
+work of the reference's ``run.py`` loop.
+
+Metric: edge-updates/s = graph edges × training steps/s on this chip.
+
+Baseline: the reference implementation's algorithmic shape — dense N×N
+adjacency matmuls (2 GCN layers + N×N affinity similarity) in float32 on
+CPU via numpy/torch — measured here on the same graph, same step
+semantics. ``vs_baseline`` is the speedup factor (ours / reference-style).
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def build_dataset():
+    from ggad_tpu.datasets.synthetic import synthetic_gad
+    return synthetic_gad(
+        name="bench_photo", n_nodes=7535, avg_degree=31, feat_dim=745,
+        n_communities=8, anomaly_rate=0.09, seed=0, seed_frac=0.15)
+
+
+def bench_tpu_step(ds, n_warmup=3, n_iter=20):
+    import jax
+    from ggad_tpu.train.full_batch import FullBatchTrainer
+
+    tr = FullBatchTrainer(ds, num_epoch=1, noise_mean=0.02, noise_std=0.01,
+                          embedding_dim=300)
+    rng = jax.random.PRNGKey(0)
+    rng, init_rng = jax.random.split(rng)
+    params, opt_state = tr.init(init_rng)
+
+    def run(n):
+        nonlocal params, opt_state, rng
+        for _ in range(n):
+            rng, step_rng = jax.random.split(rng)
+            params, opt_state, losses = tr._train_step(
+                params, opt_state, step_rng)
+        jax.block_until_ready(losses.total)
+        return losses
+
+    run(n_warmup)
+    t0 = time.perf_counter()
+    losses = run(n_iter)
+    dt = (time.perf_counter() - t0) / n_iter
+    assert np.isfinite(float(losses.total))
+    return dt
+
+
+def bench_reference_style_step(ds, n_iter=2):
+    """Reference-style dense-adjacency training step on CPU (torch).
+
+    Mirrors the reference's per-epoch compute (``run.py:145-213``): two
+    dense GCN layers, generator, head, dense N×N affinity, backward, Adam.
+    Freshly implemented here purely as a measurement baseline.
+    """
+    import torch
+
+    torch.set_num_threads(os.cpu_count())
+    n, f = ds.features.shape
+    h = 300
+    adj = torch.tensor(
+        (ds.adj + __import__("scipy.sparse", fromlist=["eye"]).eye(n))
+        .toarray(), dtype=torch.float32)
+    raw = adj  # same sparsity; values differ but cost is identical
+    x = torch.tensor(ds.features)
+    si = torch.tensor(ds.abnormal_label_idx, dtype=torch.long)
+    ni = torch.tensor(ds.normal_label_idx, dtype=torch.long)
+
+    w1 = torch.randn(f, h, requires_grad=True)
+    w2 = torch.randn(h, h, requires_grad=True)
+    w4 = torch.randn(h, h, requires_grad=True)
+    wf1 = torch.randn(h, h // 2, requires_grad=True)
+    wf2 = torch.randn(h // 2, h // 4, requires_grad=True)
+    wf3 = torch.randn(h // 4, 1, requires_grad=True)
+    params = [w1, w2, w4, wf1, wf2, wf3]
+    opt = torch.optim.Adam(params, lr=1e-3)
+
+    def step():
+        opt.zero_grad()
+        emb = torch.relu(adj @ (torch.relu(adj @ (x @ w1)) @ w2))
+        emb_con = torch.relu((adj[si] @ emb) @ w4)
+        emb_combine = torch.cat([emb[ni], emb_con], 0)
+        logits = (torch.relu(torch.relu(emb_combine @ wf1) @ wf2) @ wf3)[:, 0]
+        y = torch.cat([torch.zeros(len(ni)), torch.ones(len(si))])
+        bce = torch.nn.functional.binary_cross_entropy_with_logits(logits, y)
+        emb_out = emb.clone()
+        emb_out[si] = emb_con
+        emb_n = torch.nn.functional.normalize(emb_out, dim=1)
+        sim = emb_n @ emb_n.T          # the reference's N×N hot loop
+        aff = (sim * raw).sum(0) / raw.sum(0)
+        margin = torch.clamp(0.7 - (aff[ni].mean() - aff[si].mean()), min=0)
+        rec = (emb_con - emb[si]).pow(2).sum(1).sqrt().mean()
+        (bce + margin + rec).backward()
+        opt.step()
+
+    step()  # warmup
+    t0 = time.perf_counter()
+    for _ in range(n_iter):
+        step()
+    return (time.perf_counter() - t0) / n_iter
+
+
+def main():
+    ds = build_dataset()
+    edges = ds.n_edges
+
+    tpu_dt = bench_tpu_step(ds)
+    ref_dt = bench_reference_style_step(ds)
+
+    edges_per_s = edges / tpu_dt
+    result = {
+        "metric": "ggad_fullbatch_train_edge_updates_per_s",
+        "value": round(edges_per_s, 1),
+        "unit": "edges/s/chip",
+        "vs_baseline": round(ref_dt / tpu_dt, 3),
+        "detail": {
+            "graph": f"{ds.n_nodes}N/{edges}E/745F (photo-shaped)",
+            "step_ms": round(tpu_dt * 1e3, 3),
+            "reference_style_cpu_step_ms": round(ref_dt * 1e3, 3),
+            "backend": __import__("jax").default_backend(),
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

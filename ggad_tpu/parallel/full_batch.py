@@ -1,0 +1,123 @@
+"""Multi-device full-batch GGAD training via GSPMD node/edge partitioning.
+
+Layout:
+  * node-indexed arrays (features, embeddings) shard their node axis over
+    the ``nodes`` mesh axis;
+  * the edge list (row/col/val) shards over the same axis (edge
+    partition);
+  * parameters are replicated (they are tiny: two n_h×n_h GCN weights and
+    a few MLP heads).
+
+XLA's SPMD partitioner inserts the boundary-feature collectives for the
+gather (``x[col]``) and the scatter (``segment_sum``) — the graph analog
+of ring/sequence parallelism (SURVEY.md §5 "long-context" row). Losses
+are scalars, all-reduced automatically.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ggad_tpu.graph import Graph
+from ggad_tpu.models.ggad import GGAD
+from ggad_tpu.train.losses import ggad_losses
+
+
+def shard_graph(g: Graph, mesh: Mesh, axis: str = "nodes") -> Graph:
+    """Place the edge arrays sharded over ``axis``; indptr replicated."""
+    edge_sh = NamedSharding(mesh, P(axis))
+    repl = NamedSharding(mesh, P())
+    return Graph(
+        row=jax.device_put(g.row, edge_sh),
+        col=jax.device_put(g.col, edge_sh),
+        val=jax.device_put(g.val, edge_sh),
+        indptr=jax.device_put(g.indptr, repl),
+        n_nodes=g.n_nodes,
+        n_edges=g.n_edges,
+    )
+
+
+def shard_node_array(x: jax.Array, mesh: Mesh, axis: str = "nodes") -> jax.Array:
+    return jax.device_put(x, NamedSharding(mesh, P(axis)))
+
+
+def replicate(x, mesh: Mesh):
+    sh = NamedSharding(mesh, P())
+    return jax.tree.map(lambda a: jax.device_put(a, sh), x)
+
+
+def make_sharded_train_step(
+    model: GGAD,
+    tx: optax.GradientTransformation,
+    adj: Graph,
+    raw_adj: Graph,
+    features: jax.Array,
+    seed_idx: jax.Array,
+    normal_idx: jax.Array,
+    *,
+    confidence_margin: float = 0.7,
+    pos_weight: float = 1.0,
+) -> Callable:
+    """Return a jitted (params, opt_state, rng) -> (params, opt_state, losses)
+    step closed over sharded graph/feature arrays."""
+
+    def step(params, opt_state, rng):
+        def loss_fn(p):
+            out = model.apply(p, adj, features, seed_idx, normal_idx,
+                              train=True, rngs={"noise": rng})
+            losses = ggad_losses(out, raw_adj, seed_idx, normal_idx,
+                                 confidence_margin=confidence_margin,
+                                 pos_weight=pos_weight)
+            return losses.total, losses
+
+        (_, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, losses
+
+    return jax.jit(step, donate_argnums=(0, 1))
+
+
+def sharded_train_step(mesh: Mesh, dataset, *, n_h: int = 64,
+                       lr: float = 1e-3, seed: int = 0, n_steps: int = 1):
+    """Build + run a fully sharded GGAD train step on ``mesh``.
+
+    Used by the multi-chip dry-run harness and the scaling tests. Returns
+    the final loss value (a replicated scalar).
+    """
+    from ggad_tpu.graph import from_scipy
+    from ggad_tpu.ops.normalize import normalize_adj_reference
+
+    g = from_scipy(dataset.adj)
+    adj, raw_adj = normalize_adj_reference(g)
+    adj = shard_graph(adj, mesh)
+    raw_adj = shard_graph(raw_adj, mesh)
+    features = shard_node_array(jnp.asarray(dataset.features), mesh)
+    seed_idx = replicate(jnp.asarray(dataset.abnormal_label_idx,
+                                     jnp.int32), mesh)
+    normal_idx = replicate(jnp.asarray(dataset.normal_label_idx,
+                                       jnp.int32), mesh)
+
+    model = GGAD(n_h=n_h, noise_mean=0.02, noise_std=0.01)
+    tx = optax.adam(lr)
+    rng = jax.random.PRNGKey(seed)
+    rng, init_rng, noise_rng = jax.random.split(rng, 3)
+    params = model.init({"params": init_rng, "noise": noise_rng},
+                        adj, features, seed_idx, normal_idx, train=True)
+    params = replicate(params, mesh)
+    opt_state = replicate(tx.init(params), mesh)
+
+    step = make_sharded_train_step(model, tx, adj, raw_adj, features,
+                                   seed_idx, normal_idx)
+    losses = None
+    for _ in range(n_steps):
+        rng, step_rng = jax.random.split(rng)
+        params, opt_state, losses = step(params, opt_state, step_rng)
+    jax.block_until_ready(losses.total)
+    return float(losses.total)

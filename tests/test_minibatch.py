@@ -1,0 +1,158 @@
+"""Mini-batch path tests: sampler correctness + GGAD minibatch training."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+from ggad_tpu.datasets.splits import minibatch_split
+from ggad_tpu.datasets.synthetic import synthetic_gad
+from ggad_tpu.models.sage import (
+    GraphSAGEClassifier,
+    MiniBatchGGAD,
+    minibatch_ggad_losses,
+)
+from ggad_tpu.sampler.neighbor import (
+    NeighborTable,
+    sample_neighbors,
+    sample_two_hop,
+)
+from ggad_tpu.train.minibatch import MiniBatchTrainer
+
+
+def make_graph(n=100, seed=0):
+    rng = np.random.RandomState(seed)
+    mat = sp.random(n, n, density=0.05, random_state=rng, format="csr")
+    mat = ((mat + mat.T) > 0).astype(np.float32)
+    mat = mat + sp.eye(n, format="csr", dtype=np.float32)
+    return mat.tocsr()
+
+
+def test_sampled_neighbors_are_real_neighbors():
+    mat = make_graph()
+    table = NeighborTable.from_scipy(mat)
+    nodes = jnp.asarray([0, 5, 17, 50, 99], jnp.int32)
+    neigh, mask = sample_neighbors(table, nodes, 8, jax.random.PRNGKey(0))
+    dense = mat.toarray()
+    for i, v in enumerate(np.asarray(nodes)):
+        for k in range(8):
+            if mask[i, k] > 0:
+                assert dense[v, int(neigh[i, k])] != 0, (v, int(neigh[i, k]))
+
+
+def test_zero_degree_nodes_masked():
+    mat = sp.csr_matrix((10, 10), dtype=np.float32)
+    table = NeighborTable.from_scipy(mat)
+    nodes = jnp.asarray([0, 3], jnp.int32)
+    neigh, mask = sample_neighbors(table, nodes, 4, jax.random.PRNGKey(0))
+    assert np.all(np.asarray(mask) == 0)
+    np.testing.assert_array_equal(np.asarray(neigh),
+                                  [[0, 0, 0, 0], [3, 3, 3, 3]])
+
+
+def test_sampling_distribution_uniform():
+    """Each neighbor should be drawn ~uniformly."""
+    mat = make_graph(50)
+    table = NeighborTable.from_scipy(mat)
+    node = 7
+    deg = int(mat[node].getnnz())
+    draws = []
+    for s in range(200):
+        neigh, mask = sample_neighbors(
+            table, jnp.asarray([node], jnp.int32), 16,
+            jax.random.PRNGKey(s))
+        draws.extend(np.asarray(neigh[0]).tolist())
+    counts = np.bincount(draws, minlength=50)
+    support = np.flatnonzero(counts)
+    true_neigh = mat[node].indices
+    np.testing.assert_array_equal(np.sort(support), np.sort(true_neigh))
+    # roughly uniform: all sampled neighbors within 3x of each other
+    sampled = counts[true_neigh]
+    assert sampled.min() > 0
+    assert sampled.max() / sampled.min() < 3.0, sampled
+
+
+def test_two_hop_shapes():
+    mat = make_graph()
+    table = NeighborTable.from_scipy(mat)
+    nodes = jnp.arange(12, dtype=jnp.int32)
+    n1, m1, n2, m2 = sample_two_hop(table, nodes, 4, 3,
+                                    jax.random.PRNGKey(0))
+    assert n1.shape == (12, 4) and n2.shape == (12, 4, 3)
+    assert m1.shape == (12, 4) and m2.shape == (12, 4, 3)
+
+
+def test_minibatch_model_shapes():
+    mat = make_graph(200)
+    table = NeighborTable.from_scipy(mat)
+    feats = jnp.asarray(np.random.default_rng(0).normal(
+        size=(200, 10)).astype(np.float32))
+    model = MiniBatchGGAD(emb_dim=16, fanout1=4, fanout2=3)
+    batch = jnp.arange(20, dtype=jnp.int32)
+    params = model.init({"params": jax.random.PRNGKey(0),
+                         "sample": jax.random.PRNGKey(1)},
+                        feats, table, batch, 5, True)
+    out = model.apply(params, feats, table, batch, 5, True,
+                      rngs={"sample": jax.random.PRNGKey(2)})
+    assert out.combined_all.shape == (20, 16)
+    assert out.scores.shape == (20,)
+    assert out.anomaly_feat_new.shape == (5, 16)
+    losses = minibatch_ggad_losses(out, 5)
+    assert np.isfinite(float(losses.total))
+
+    out_eval = model.apply(params, feats, table, batch, 0, False,
+                           rngs={"sample": jax.random.PRNGKey(2)})
+    assert out_eval.scores.shape == (20,)
+
+
+def test_sage_classifier_shapes():
+    mat = make_graph(100)
+    table = NeighborTable.from_scipy(mat)
+    feats = jnp.asarray(np.random.default_rng(0).normal(
+        size=(100, 8)).astype(np.float32))
+    model = GraphSAGEClassifier(emb_dim=16, fanout=5)
+    batch = jnp.arange(10, dtype=jnp.int32)
+    params = model.init({"params": jax.random.PRNGKey(0),
+                         "sample": jax.random.PRNGKey(1)},
+                        feats, table, batch)
+    scores = model.apply(params, feats, table, batch,
+                         rngs={"sample": jax.random.PRNGKey(2)})
+    assert scores.shape == (10, 2)
+
+
+def test_minibatch_split_semantics():
+    labels = np.zeros(1000, np.int64)
+    labels[:50] = 1  # 5% anomalies
+    idx_train, idx_valid, idx_test, mutated, idx_anom = minibatch_split(
+        labels, seed=0, labeled_rate=0.3, pseudo_anomaly_frac=0.05,
+        contamination_frac=0.2, test_ratio=0.6)
+    # pseudo anomalies relabeled
+    assert np.all(mutated[idx_anom] == 1)
+    assert np.all(labels[idx_anom] == 0)
+    # contaminated real anomalies are in train
+    assert mutated[idx_train].sum() == int(50 * 0.2)
+    # eval sets don't contain train/labeled nodes
+    assert len(np.intersect1d(idx_train, idx_test)) == 0
+    assert len(np.intersect1d(idx_valid, idx_test)) == 0
+
+
+@pytest.mark.slow
+def test_minibatch_training_learns():
+    ds = synthetic_gad(n_nodes=1500, avg_degree=12, feat_dim=24,
+                       anomaly_rate=0.06, seed=3)
+    adj = ds.adj + sp.eye(ds.n_nodes, format="csr", dtype=np.float32)
+    idx_train, idx_valid, idx_test, labels, idx_anom = minibatch_split(
+        ds.ano_labels, seed=0, pseudo_anomaly_frac=0.1)
+    tr = MiniBatchTrainer(
+        adj=adj, features=ds.features, labels=labels,
+        idx_train=idx_train, idx_anomaly=idx_anom,
+        idx_valid=idx_valid, idx_test=idx_test,
+        emb_dim=32, num_epochs=6, num_batches=30, batch_size=64,
+        n_anom_per_batch=16, valid_epochs=2, eval_batch=256)
+    res = tr.train()
+    # labels used for eval are the ORIGINAL anomaly labels on test split
+    test_true = tr.metrics_on(res.best_params, ds.idx_test if False
+                              else idx_test, ds.ano_labels[idx_test])
+    assert np.isfinite(res.best_val_auc)
+    assert test_true["auc"] > 0.55, test_true
