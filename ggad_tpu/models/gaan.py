@@ -1,0 +1,90 @@
+"""GAAN baseline (generative adversarial attributed network AD).
+
+Reference (``model_gaan.py``, ``gaan.py``):
+  * generator: MLP noise(16)→…→n_in producing fake features x_;
+  * encoder/discriminator: MLP x→z (no graph convolution!);
+  * edge probabilities a_ij = σ(z_i·z_j), a_ij' = σ(z_i'·z_j');
+  * discriminator loss over the *train-node* edges
+    (``model_gaan.py:266-270, 318-322``):
+       loss = ½·[BCE(a_E, 1) + BCE(a_E'.detach(), 0)]
+  * generator loss: per-row feature reconstruction L2 over train rows
+    (``model_gaan.py:324-326``);
+  * anomaly score (weight = 1): attribute reconstruction error of the test
+    rows (``model_gaan.py:328-334``).
+
+Edge terms are computed edge-parallel over the sparse adjacency's edges
+restricted to rows in ``idx_train`` — the reference's Python double loop
+(``model_gaan.py:18-23``) becomes a boolean edge mask.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ggad_tpu.graph import Graph
+from ggad_tpu.models.aegis import MLP
+from ggad_tpu.ops.dense_blocks import attr_row_error
+
+
+class GAANOutput(NamedTuple):
+    z: jax.Array        # encoded real features [N, h]
+    z_gen: jax.Array    # encoded fake features [N, h]
+    x_gen: jax.Array    # generated features [N, n_in]
+
+
+class GAAN(nn.Module):
+    noise_dim: int = 16
+    hid_dim: int = 64
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> GAANOutput:
+        n_in = x.shape[-1]
+        generator = MLP(self.hid_dim, n_in, act="relu", name="generator")
+        encoder = MLP(self.hid_dim, self.hid_dim, act="relu",
+                      name="discriminator")
+        noise = jax.random.normal(self.make_rng("noise"),
+                                  (x.shape[0], self.noise_dim))
+        x_gen = generator(noise)
+        z = encoder(x)
+        z_gen = encoder(x_gen)
+        return GAANOutput(z, z_gen, x_gen)
+
+
+def train_edge_mask(g: Graph, train_mask_nodes: jax.Array) -> jax.Array:
+    """Edges whose source row is a train node (reference
+    ``neighList_to_edgeList_train``) and that are not padding."""
+    return train_mask_nodes[g.row] & (g.val != 0)
+
+
+def gaan_losses(out: GAANOutput, g: Graph, x: jax.Array,
+                train_node_mask: jax.Array, train_idx: jax.Array):
+    """(loss_dis, loss_g). ``train_node_mask``: [N] bool."""
+    emask = train_edge_mask(g, train_node_mask)
+    w = emask.astype(jnp.float32)
+    denom = jnp.maximum(jnp.sum(w), 1.0)
+
+    def edge_sigmoid(z):
+        return jax.nn.sigmoid(
+            jnp.einsum("ed,ed->e", z[g.row], z[g.col],
+                       preferred_element_type=jnp.float32))
+
+    eps = 1e-7
+    a_real = jnp.clip(edge_sigmoid(out.z), eps, 1 - eps)
+    a_fake = jnp.clip(edge_sigmoid(jax.lax.stop_gradient(out.z_gen)),
+                      eps, 1 - eps)
+    loss_r = -jnp.sum(w * jnp.log(a_real)) / denom
+    loss_f = -jnp.sum(w * jnp.log(1 - a_fake)) / denom
+    loss_dis = 0.5 * (loss_r + loss_f)
+
+    loss_g = jnp.mean(attr_row_error(x, out.x_gen)[train_idx])
+    return loss_dis, loss_g
+
+
+def gaan_scores(out: GAANOutput, x: jax.Array) -> jax.Array:
+    """score_i = ‖x_i − x̂_i‖₂ (weight = 1 ⇒ attribute-only,
+    reference ``model_gaan.py:328-334``)."""
+    return attr_row_error(x, out.x_gen)

@@ -1,0 +1,209 @@
+"""TAM baseline (truncated affinity maximization) — TPU-native ensemble.
+
+Reference (``tam.py``, ``model_tam.py``, ``utils_tam.py``):
+  * per-edge feature distances, cached (``utils_tam.py:190-199`` computes
+    them with a Python O(E) loop; here it is one SDDMM-style edge op);
+  * NSGT truncation per round: for each row, draw a threshold
+    U(global-mean-distance, row-max-distance) and cut edges whose distance
+    exceeds it; symmetrize by union (``utils_tam.py:222-240``);
+  * per round, a fresh 2-layer GCN (n_in→2h→h) maximizes the min-max
+    normalized 1-hop affinity of labeled-normal nodes on the RAW graph
+    (``tam.py:113-133``), Adam lr 1e-5, 500 epochs;
+  * score = 1 − minmax(mean over rounds of the per-round affinity)
+    (``tam.py:206-237``).
+
+TPU re-design: cut graphs differ only in edge *values* (structure is
+static), so the whole ensemble — every (cutting × N_tree) member — trains
+in parallel under one ``jax.vmap`` over (params, edge-values) instead of
+the reference's sequential Python loop. Truncation itself is a pure
+device function (segment-max + where), no row loops.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ggad_tpu.graph import Graph
+from ggad_tpu.nn.layers import GCNLayer
+from ggad_tpu.ops.sddmm import node_affinity
+from ggad_tpu.ops.spmm import spmm_coo
+
+
+class TAMEncoder(nn.Module):
+    """gcn1(n_in→2·n_h) → gcn2(2·n_h→n_h)  (reference model_tam.py:233-239).
+    fc1/fc2 heads exist in the reference but feed only commented-out
+    regularizers — dead code, not carried."""
+
+    n_h: int = 300
+
+    @nn.compact
+    def __call__(self, adj: Graph, x: jax.Array) -> jax.Array:
+        h = GCNLayer(2 * self.n_h, act="prelu", name="gcn1")(adj, x)
+        return GCNLayer(self.n_h, act="prelu", name="gcn2")(adj, h)
+
+
+def edge_feature_distance(g: Graph, x: jax.Array) -> jax.Array:
+    """dis_e = ‖x_row − x_col‖₂ per edge (reference calc_distance,
+    ``utils_tam.py:190-199``)."""
+    diff = x[g.row] - x[g.col]
+    d = jnp.sqrt(jnp.sum(jnp.square(diff), axis=1))
+    return jnp.where(g.val != 0, d, 0.0)
+
+
+def transpose_permutation(g: Graph) -> np.ndarray:
+    """Host-side: permutation p with (row[p[e]], col[p[e]]) == (col[e], row[e]).
+
+    Requires a structurally symmetric edge list (GAD graphs are). Padding
+    edges map to themselves.
+    """
+    row = np.asarray(g.row)
+    col = np.asarray(g.col)
+    e = g.n_edges
+    fwd = np.lexsort((col[:e], row[:e]))
+    bwd = np.lexsort((row[:e], col[:e]))
+    perm = np.arange(g.e_pad)
+    perm[fwd] = bwd
+    return perm
+
+
+def nsgt_cut(val: jax.Array, dis: jax.Array, g: Graph,
+             t_perm: jax.Array, rng: jax.Array) -> jax.Array:
+    """One NSGT truncation round on edge values (0 = cut).
+
+    Per row i: thresh_i ~ U(mean_dis, max_dis_i); cut edges with
+    dis > thresh_i (only when max_dis_i > mean_dis); then symmetrize by
+    union: val' = max(val_cut, val_cut[transpose]).
+    """
+    live = val != 0
+    dis_live = jnp.where(live, dis, 0.0)
+    n_live = jnp.maximum(jnp.sum(live), 1)
+    mean_dis = jnp.sum(dis_live) / n_live
+
+    row_max = jax.ops.segment_max(
+        jnp.where(live, dis, -jnp.inf), g.row, num_segments=g.n_nodes,
+        indices_are_sorted=True)
+    row_max = jnp.where(jnp.isfinite(row_max), row_max, 0.0)
+
+    u = jax.random.uniform(rng, (g.n_nodes,))
+    thresh = mean_dis + (row_max - mean_dis) * u
+    active = row_max > mean_dis            # reference: only cut such rows
+    cut = live & active[g.row] & (dis > thresh[g.row])
+    new_val = jnp.where(cut, 0.0, val)
+    # union symmetrize (adj + adjᵀ, clipped)
+    return jnp.maximum(new_val, new_val[t_perm])
+
+
+def sym_normalize_vals(val: jax.Array, g: Graph) -> jax.Array:
+    """D^{-1/2} A D^{-1/2} on edge values (column-sum degrees like the
+    reference's normalize_adj_tensor — identical for symmetric graphs)."""
+    deg = jax.ops.segment_sum(val, g.col, num_segments=g.n_nodes)
+    inv = jnp.where(deg > 0, jax.lax.rsqrt(deg), 0.0)
+    return val * inv[g.row] * inv[g.col]
+
+
+def minmax(x: jax.Array) -> jax.Array:
+    lo, hi = jnp.min(x), jnp.max(x)
+    return (x - lo) / jnp.maximum(hi - lo, 1e-12)
+
+
+def tam_loss(emb: jax.Array, raw_adj: Graph,
+             normal_idx: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """(loss, message): maximize minmaxed affinity of labeled normals on
+    the raw graph (reference max_message, ``tam.py:113-133``)."""
+    message = node_affinity(raw_adj, emb)
+    norm_message = minmax(message)
+    return -jnp.sum(norm_message[normal_idx]), message
+
+
+@dataclasses.dataclass
+class TAMResult:
+    scores: np.ndarray          # final ensemble score (1 − minmax(mean))
+    per_round_scores: np.ndarray  # [rounds, N]
+
+
+def run_tam(
+    graph: Graph,
+    raw_adj: Graph,
+    features,
+    normal_idx,
+    *,
+    n_h: int = 300,
+    cutting: int = 8,
+    n_tree: int = 1,
+    num_epoch: int = 500,
+    lr: float = 1e-5,
+    seed: int = 0,
+    verbose: bool = False,
+) -> TAMResult:
+    """Full TAM pipeline: sequential cuts, vmapped parallel ensemble training."""
+    import optax
+
+    x = jnp.asarray(features, jnp.float32)
+    normal_idx = jnp.asarray(normal_idx, jnp.int32)
+    t_perm = jnp.asarray(transpose_permutation(raw_adj))
+    dis = edge_feature_distance(raw_adj, x)
+
+    n_members = cutting * n_tree
+    rng = jax.random.PRNGKey(seed)
+
+    # ---- build the cut-value stack (sequential in cuts, per tree) ------
+    vals = [raw_adj.val] * n_tree
+    member_vals = []
+    for c in range(cutting):
+        for t in range(n_tree):
+            rng, sub = jax.random.split(rng)
+            vals[t] = nsgt_cut(vals[t], dis, raw_adj, t_perm, sub)
+            member_vals.append(vals[t])
+    val_stack = jnp.stack(member_vals)              # [M, E_pad]
+    norm_stack = jax.vmap(lambda v: sym_normalize_vals(v, raw_adj))(val_stack)
+
+    # ---- vmapped ensemble training -------------------------------------
+    model = TAMEncoder(n_h=n_h)
+    tx = optax.adam(lr)
+
+    def init_one(key):
+        return model.init({"params": key}, raw_adj, x)
+
+    rng, ikey = jax.random.split(rng)
+    params = jax.vmap(init_one)(jax.random.split(ikey, n_members))
+    opt_state = jax.vmap(tx.init)(params)
+
+    def one_step(p, o, adj_val):
+        adj_m = dataclasses.replace(raw_adj, val=adj_val)
+
+        def loss_fn(p):
+            emb = model.apply(p, adj_m, x)
+            loss, message = tam_loss(emb, raw_adj, normal_idx)
+            return loss, message
+
+        (loss, message), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(p)
+        updates, o = tx.update(grads, o)
+        p = optax.apply_updates(p, updates)
+        return p, o, loss, message
+
+    @jax.jit
+    def epoch(params, opt_state):
+        return jax.vmap(one_step)(params, opt_state, norm_stack)
+
+    message = None
+    for ep in range(num_epoch):
+        params, opt_state, loss, message = epoch(params, opt_state)
+        if verbose and ep % 50 == 0:
+            print(f"tam epoch {ep}: mean loss {float(jnp.mean(loss)):.4f}")
+
+    # ---- ensemble scoring (reference tam.py:206-237) -------------------
+    messages = np.asarray(message)                  # [M, N]
+    per_cut = messages.reshape(cutting, n_tree, -1).mean(axis=1)
+    running = np.cumsum(per_cut, axis=0) / np.arange(
+        1, cutting + 1)[:, None]
+    final = 1.0 - np.asarray(minmax(jnp.asarray(running[-1])))
+    per_round = 1.0 - np.stack([
+        np.asarray(minmax(jnp.asarray(r))) for r in running])
+    return TAMResult(scores=final, per_round_scores=per_round)

@@ -127,6 +127,48 @@ class BilinearDiscriminator(nn.Module):
         return jnp.concatenate(scores, axis=0)[:, None]
 
 
+class GATLayer(nn.Module):
+    """Single-head graph attention layer (GATConv semantics, used by the
+    AnomalyDAE baseline — reference ``model_AnomalyDAE.py:123``).
+
+    α_ij = softmax_j( LeakyReLU(a_src·Wh_j + a_dst·Wh_i) ) over incoming
+    edges j→i (self-loops added by the caller's graph); out_i = Σ α_ij Wh_j
+    + bias. Computed edge-parallel: SDDMM-style logits + segment-softmax +
+    weighted SpMM — never materializes N×N attention.
+    """
+
+    features: int
+    negative_slope: float = 0.2
+
+    @nn.compact
+    def __call__(self, g: Graph, x: jax.Array) -> jax.Array:
+        d = self.features
+        w = self.param("kernel", xavier_uniform, (x.shape[-1], d),
+                       jnp.float32)
+        a_src = self.param("att_src", xavier_uniform, (1, d), jnp.float32)
+        a_dst = self.param("att_dst", xavier_uniform, (1, d), jnp.float32)
+        b = self.param("bias", nn.initializers.zeros, (d,), jnp.float32)
+
+        h = jnp.dot(x, w, preferred_element_type=jnp.float32)
+        alpha_src = jnp.sum(h * a_src, axis=-1)   # [N]
+        alpha_dst = jnp.sum(h * a_dst, axis=-1)   # [N]
+        # edge (row → col): message from row, aggregated at col
+        logits = jax.nn.leaky_relu(
+            alpha_src[g.row] + alpha_dst[g.col], self.negative_slope)
+        # padding edges (val == 0) must not join the softmax
+        valid = g.val != 0
+        logits = jnp.where(valid, logits, -jnp.inf)
+        seg_max = jax.ops.segment_max(logits, g.col,
+                                      num_segments=g.n_nodes)
+        seg_max = jnp.where(jnp.isfinite(seg_max), seg_max, 0.0)
+        ex = jnp.where(valid, jnp.exp(logits - seg_max[g.col]), 0.0)
+        denom = jax.ops.segment_sum(ex, g.col, num_segments=g.n_nodes)
+        att = ex / jnp.maximum(denom[g.col], 1e-16)
+        out = jax.ops.segment_sum(h[g.row] * att[:, None], g.col,
+                                  num_segments=g.n_nodes)
+        return out + b
+
+
 def readout(seq: jax.Array, mode: str = "avg",
             query: Optional[jax.Array] = None) -> jax.Array:
     """Graph readout over the node axis (reference ``model.py:38-73``)."""

@@ -1,0 +1,261 @@
+"""Block-sparse (BCSR) SpMM Pallas kernel — the MXU path for Â @ H.
+
+Motivation: the GAD benchmark graphs are small-N / high-density (photo:
+7.5K nodes, 457K edges → nearly every 128×128 adjacency tile is occupied;
+Amazon: 12K nodes, 4.4M edges). On such graphs scatter-add SpMM wastes the
+MXU entirely. This kernel stores only the *occupied* 128×128 adjacency
+tiles (tile-COO sorted by tile-row) and contracts each against the
+matching 128-row slab of H on the MXU:
+
+    out[tile_row] += A_tile[t] @ H[tile_col[t]]
+
+Grid layout: ``(d_tiles, n_tiles)`` — the flat tile axis varies fastest, so
+all revisits of an output block are consecutive (Mosaic requirement); the
+accumulator is zeroed whenever the tile-row changes. Tile row/col indices
+are scalar-prefetched so the H and out BlockSpec index_maps can read them
+(``pltpu.PrefetchScalarGridSpec``).
+
+The backward pass reuses the same kernel with the transposed tile set
+(precomputed once); ``val`` gradients are not needed (the adjacency is not
+trained), so the op exposes a custom VJP in H only.
+
+Reference equivalence: this computes exactly ``torch.bmm(adj, seq_fts)``
+of the reference (``model.py:29-31``) for the sparse adjacency.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+
+TILE = 128  # MXU-native tile edge
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class BCSR:
+    """Tile-COO block-sparse matrix (tiles sorted by (tile_row, tile_col))."""
+
+    tile_rows: jax.Array  # [T] int32
+    tile_cols: jax.Array  # [T] int32
+    values: jax.Array     # [T, TILE, TILE] float32
+    n_rows: int = dataclasses.field(metadata=dict(static=True))   # padded
+    n_cols: int = dataclasses.field(metadata=dict(static=True))   # padded
+
+    @property
+    def n_tiles(self) -> int:
+        return self.tile_rows.shape[0]
+
+
+def bcsr_from_coo(row: np.ndarray, col: np.ndarray, val: np.ndarray,
+                  n_nodes: int, dtype=np.float32) -> BCSR:
+    """Host-side BCSR construction from (unpadded) COO arrays."""
+    n_pad = _round_up(max(n_nodes, TILE), TILE)
+    trow = row // TILE
+    tcol = col // TILE
+    tkey = trow.astype(np.int64) * (n_pad // TILE) + tcol
+    uniq, inv = np.unique(tkey, return_inverse=True)
+    n_tiles = len(uniq)
+    values = np.zeros((n_tiles, TILE, TILE), dtype)
+    np.add.at(values, (inv, row % TILE, col % TILE), val)
+    tile_rows = (uniq // (n_pad // TILE)).astype(np.int32)
+    tile_cols = (uniq % (n_pad // TILE)).astype(np.int32)
+    # np.unique returns sorted keys → already (tile_row, tile_col) sorted.
+    return BCSR(
+        tile_rows=jnp.asarray(tile_rows),
+        tile_cols=jnp.asarray(tile_cols),
+        values=jnp.asarray(values),
+        n_rows=n_pad,
+        n_cols=n_pad,
+    )
+
+
+def _bcsr_matmul_kernel(tile_rows_ref, tile_cols_ref, vals_ref, h_ref,
+                        out_ref):
+    t = pl.program_id(1)
+
+    @pl.when((t == 0) | (tile_rows_ref[t] != tile_rows_ref[
+        jnp.maximum(t - 1, 0)]))
+    def _zero():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    # HIGHEST keeps true-f32 accuracy on the MXU (default is bf16-level,
+    # which breaks 1e-4 parity with the reference math).
+    out_ref[...] += jax.lax.dot(
+        vals_ref[0], h_ref[...], preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)
+
+
+def _bcsr_matmul_raw(m: BCSR, h: jax.Array, d_tile: int = 512) -> jax.Array:
+    """out = M @ h, h: [n_cols_pad, D_pad]; D_pad % d_tile == 0."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    d_pad = h.shape[1]
+    assert h.shape[0] == m.n_cols, (h.shape, m.n_cols)
+    assert d_pad % d_tile == 0
+    n_d = d_pad // d_tile
+    n_t = m.n_tiles
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_d, n_t),
+        in_specs=[
+            pl.BlockSpec((1, TILE, TILE),
+                         lambda d, t, rows, cols: (t, 0, 0)),
+            pl.BlockSpec((TILE, d_tile),
+                         lambda d, t, rows, cols: (cols[t], d)),
+        ],
+        out_specs=pl.BlockSpec((TILE, d_tile),
+                               lambda d, t, rows, cols: (rows[t], d)),
+    )
+    flops = 2 * n_t * TILE * TILE * d_pad
+    out = pl.pallas_call(
+        _bcsr_matmul_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((m.n_rows, d_pad), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=n_t * TILE * TILE * 4 + h.size * 4,
+            transcendentals=0),
+    )(m.tile_rows, m.tile_cols, m.values, h)
+    return out
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class BCSRPair:
+    """Forward + transposed tile sets for differentiable SpMM."""
+
+    fwd: BCSR
+    bwd: BCSR
+    n_nodes: int = dataclasses.field(metadata=dict(static=True))
+
+
+def bcsr_pair_from_graph(g, dtype=np.float32) -> BCSRPair:
+    """Build forward/backward BCSR from a :class:`ggad_tpu.graph.Graph`."""
+    row = np.asarray(g.row)[: g.n_edges]
+    col = np.asarray(g.col)[: g.n_edges]
+    val = np.asarray(g.val)[: g.n_edges]
+    fwd = bcsr_from_coo(row, col, val, g.n_nodes, dtype)
+    bwd = bcsr_from_coo(col, row, val, g.n_nodes, dtype)
+    return BCSRPair(fwd=fwd, bwd=bwd, n_nodes=g.n_nodes)
+
+
+def _pad_h(h: jax.Array, n_rows: int, d_tile: int) -> jax.Array:
+    d_pad = _round_up(h.shape[1], d_tile)
+    return jnp.pad(h, ((0, n_rows - h.shape[0]), (0, d_pad - h.shape[1])))
+
+
+@jax.custom_vjp
+def bcsr_spmm(pair: BCSRPair, h: jax.Array) -> jax.Array:
+    """out = A @ h with the BCSR Pallas kernel; differentiable in h.
+
+    The backward pass is Aᵀ @ g via the transposed tile set; the adjacency
+    itself is not trained, so its cotangent is symbolically zero.
+    """
+    return _bcsr_spmm_fwd_only(pair, h)
+
+
+def _pick_d_tile(d: int) -> int:
+    """Widest feature tile ≤ 1024 lanes that divides the padded width
+    (amortizes each A-tile load across the most columns of H)."""
+    d_pad = _round_up(d, 128)
+    for cand in (d_pad, 1024, 768, 512, 384, 256, 128):
+        if cand <= 1024 and d_pad % cand == 0:
+            return cand
+    return 128
+
+
+def _bcsr_spmm_fwd_only(pair: BCSRPair, h: jax.Array) -> jax.Array:
+    n, d = h.shape
+    d_tile = _pick_d_tile(d)
+    hp = _pad_h(h, pair.fwd.n_cols, d_tile)
+    out = _bcsr_matmul_raw(pair.fwd, hp, d_tile)
+    return out[:n, :d]
+
+
+def _bcsr_spmm_vjp_fwd(pair, h):
+    return _bcsr_spmm_fwd_only(pair, h), (pair, h.shape)
+
+
+def _bcsr_spmm_vjp_bwd(res, g):
+    pair, (n, d) = res
+    d_tile = _pick_d_tile(d)
+    gp = _pad_h(g, pair.bwd.n_cols, d_tile)
+    dh = _bcsr_matmul_raw(pair.bwd, gp, d_tile)
+    return None, dh[:n, :d]
+
+
+bcsr_spmm.defvjp(_bcsr_spmm_vjp_fwd, _bcsr_spmm_vjp_bwd)
+
+
+# --------------------------------------------------------------------------
+# Graph-level wrapper with cached tiles
+# --------------------------------------------------------------------------
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class BCSRGraph:
+    """A Graph plus its BCSR tiles; drop-in for ops.spmm dispatch."""
+
+    graph: "object"          # ggad_tpu.graph.Graph (itself a pytree)
+    tiles: BCSRPair
+
+    # delegate the Graph interface so SDDMM/affinity work unchanged
+    @property
+    def row(self):
+        return self.graph.row
+
+    @property
+    def col(self):
+        return self.graph.col
+
+    @property
+    def val(self):
+        return self.graph.val
+
+    @property
+    def indptr(self):
+        return self.graph.indptr
+
+    @property
+    def n_nodes(self):
+        return self.graph.n_nodes
+
+    @property
+    def n_edges(self):
+        return self.graph.n_edges
+
+    def out_degrees(self):
+        return self.graph.out_degrees()
+
+    def in_degrees(self):
+        return self.graph.in_degrees()
+
+
+def as_bcsr_graph(g) -> BCSRGraph:
+    return BCSRGraph(graph=g, tiles=bcsr_pair_from_graph(g))
+
+
+def bcsr_spmm_graph(g, x: jax.Array) -> jax.Array:
+    if isinstance(g, BCSRGraph):
+        return bcsr_spmm(g.tiles, x)
+    raise TypeError(
+        "spmm(impl='pallas') needs a BCSRGraph (see as_bcsr_graph); "
+        f"got {type(g).__name__}")
+
+
+def bcsr_memory_bytes(n_edges: int, n_nodes: int) -> int:
+    """Upper bound on tile storage if every edge hits a distinct tile."""
+    n_pad = _round_up(max(n_nodes, TILE), TILE)
+    max_tiles = min(n_edges, (n_pad // TILE) ** 2)
+    return max_tiles * TILE * TILE * 4
