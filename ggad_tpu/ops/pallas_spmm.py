@@ -126,6 +126,7 @@ def _bcsr_matmul_raw(m: BCSR, h: jax.Array, d_tile: int = 512) -> jax.Array:
             flops=flops,
             bytes_accessed=n_t * TILE * TILE * 4 + h.size * 4,
             transcendentals=0),
+        interpret=jax.default_backend() != "tpu",  # CPU tests
     )(m.tile_rows, m.tile_cols, m.values, h)
     return out
 

@@ -27,29 +27,25 @@ def spmm_coo(row: jax.Array, col: jax.Array, val: jax.Array,
         gathered, row, num_segments=n_rows, indices_are_sorted=rows_sorted)
 
 
-def spmm(g: Graph, x: jax.Array, *, impl: str = "auto") -> jax.Array:
+def spmm(g, x: jax.Array, *, impl: str = "auto") -> jax.Array:
     """Compute A @ x for the sparse adjacency held by ``g``.
 
+    Dispatch: if ``g`` carries precomputed BCSR tiles (a
+    :class:`~ggad_tpu.ops.pallas_spmm.BCSRGraph`, built once at load by
+    the trainer when the graph is tile-dense), the Pallas MXU kernel runs;
+    otherwise the XLA gather+segment-sum path. ``impl='xla'`` forces the
+    segment path even on a BCSRGraph.
+
     Args:
-      g: Graph with sorted-by-row COO edges.
+      g: Graph (or BCSRGraph) with sorted-by-row COO edges.
       x: [N, d] dense feature/embedding matrix.
-      impl: "xla" (segment-sum), "pallas" (TPU block kernel), or "auto".
+      impl: "auto" (dispatch on type), "xla", or "pallas".
     """
-    if impl == "auto":
-        impl = _default_impl()
+    from ggad_tpu.ops.pallas_spmm import BCSRGraph, bcsr_spmm
+
+    if isinstance(g, BCSRGraph) and impl != "xla":
+        return bcsr_spmm(g.tiles, x)
     if impl == "pallas":
         from ggad_tpu.ops.pallas_spmm import bcsr_spmm_graph
-        return bcsr_spmm_graph(g, x)
+        return bcsr_spmm_graph(g, x)  # raises with guidance
     return spmm_coo(g.row, g.col, g.val, x, g.n_nodes)
-
-
-def _default_impl() -> str:
-    # Pallas kernels require a TPU backend; tests run on CPU.
-    try:
-        if jax.default_backend() == "tpu":
-            return "xla"  # XLA scatter-add is the robust default; the
-            # Pallas BCSR path is opt-in per call site until it wins
-            # the bench on every shape (see bench.py).
-    except RuntimeError:
-        pass
-    return "xla"

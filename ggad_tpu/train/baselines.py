@@ -364,4 +364,139 @@ def run_minibatch_model(name: str, ds: GADDataset, args) -> dict:
                "wall_time_s": res.wall_time_s}
         out.update({f"test_{k}": v for k, v in res.test_metrics.items()})
         return out
-    raise NotImplementedError(f"{name} driver lands with the PC-GNN phase")
+    if name in ("sage", "pcgnn"):
+        res = run_minibatch_classifier(
+            name, adj, ds.features, labels, idx_train, idx_anom,
+            idx_valid, idx_test, num_epochs=args.num_epoch or 30,
+            lr=args.lr or 1e-3, seed=args.seed, verbose=True)
+        res.update({"model": name, "dataset": ds.name})
+        return res
+    raise ValueError(name)
+
+
+def run_minibatch_classifier(name, adj, features, labels, idx_train,
+                             idx_anomaly, idx_valid, idx_test, *,
+                             emb_dim: int = 64, batch_size: int = 150,
+                             n_anom: int = 50, num_batches: int = 50,
+                             num_epochs: int = 30, lr: float = 1e-3,
+                             weight_decay: float = 0.007, seed: int = 0,
+                             verbose: bool = False) -> dict:
+    """Supervised minibatch classifiers: vanilla GraphSAGE (CE) and the
+    PC-GNN-style multi-relation model (CE + 5·affinity margin).
+
+    Same 150+n_anom batch composition and best-val-AUC selection as the
+    GGAD minibatch handler (reference ``src/model_handler.py:310-399``).
+    """
+    from ggad_tpu.models.pcgnn import PCGNN, pcgnn_loss, pcgnn_prob
+    from ggad_tpu.models.sage import GraphSAGEClassifier
+    from ggad_tpu.ops.metrics import average_precision, roc_auc
+    from ggad_tpu.sampler.neighbor import NeighborTable
+
+    table = NeighborTable.from_scipy(adj)
+    feats = jnp.asarray(features, jnp.float32)
+    labels = np.asarray(labels)
+    b_total = batch_size + n_anom
+
+    if name == "pcgnn":
+        model = PCGNN(emb_dim=emb_dim, n_relations=3)
+        tables = [table] * 3
+
+        def apply_fn(p, batch, key):
+            return model.apply(p, feats, tables, batch,
+                               rngs={"sample": key})
+
+        def loss_fn(p, batch, y, key):
+            out = apply_fn(p, batch, key)
+            total, _, _ = pcgnn_loss(out, y)
+            return total
+
+        def prob_fn(p, batch, key):
+            return pcgnn_prob(apply_fn(p, batch, key))
+
+        init_args = (feats, tables, jnp.zeros(b_total, jnp.int32))
+    else:
+        model = GraphSAGEClassifier(emb_dim=emb_dim, fanout=5)
+
+        def apply_fn(p, batch, key):
+            return model.apply(p, feats, table, batch,
+                               rngs={"sample": key})
+
+        def loss_fn(p, batch, y, key):
+            logits = apply_fn(p, batch, key)
+            logp = jax.nn.log_softmax(logits, axis=-1)
+            return -jnp.mean(jnp.take_along_axis(
+                logp, y[:, None], axis=1)[:, 0])
+
+        def prob_fn(p, batch, key):
+            return jax.nn.sigmoid(apply_fn(p, batch, key)[:, 1])
+
+        init_args = (feats, table, jnp.zeros(b_total, jnp.int32))
+
+    rng = jax.random.PRNGKey(seed)
+    rng, ik, sk = jax.random.split(rng, 3)
+    params = model.init({"params": ik, "sample": sk}, *init_args)
+    tx = optax.adamw(lr, weight_decay=weight_decay)
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def train_step(params, opt_state, batch, y, key):
+        loss, grads = jax.value_and_grad(loss_fn)(params, batch, y, key)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    eval_batch = 1024
+
+    @jax.jit
+    def eval_step(params, batch, key):
+        return prob_fn(params, batch, key)
+
+    def score_nodes(params, ids):
+        out = np.empty(len(ids), np.float32)
+        key = jax.random.PRNGKey(4321)
+        for s in range(0, len(ids), eval_batch):
+            chunk = ids[s:s + eval_batch]
+            pad = eval_batch - len(chunk)
+            padded = np.concatenate([chunk, np.zeros(pad, np.int64)])
+            key, sub = jax.random.split(key)
+            probs = np.asarray(eval_step(
+                params, jnp.asarray(padded, jnp.int32), sub))
+            out[s:s + eval_batch] = probs[: len(chunk)]
+        return out
+
+    host_rng = np.random.default_rng(seed)
+    train_pool = np.asarray(
+        [i for i in idx_train if labels[i] == 0], np.int64)
+    anom_pool = np.asarray(
+        list(idx_anomaly)
+        + [i for i in idx_train if labels[i] == 1], np.int64)
+    best_auc, best_params = -1.0, params
+
+    t0 = time.time()
+    for epoch in range(num_epochs):
+        for _ in range(num_batches):
+            tr_ids = host_rng.choice(train_pool, batch_size, replace=True)
+            an_ids = host_rng.choice(anom_pool, n_anom,
+                                     replace=len(anom_pool) < n_anom)
+            batch = jnp.asarray(np.concatenate([tr_ids, an_ids]),
+                                jnp.int32)
+            y = jnp.asarray(labels[np.asarray(batch)], jnp.int32)
+            rng, sub = jax.random.split(rng)
+            params, opt_state, loss = train_step(params, opt_state,
+                                                 batch, y, sub)
+        if epoch % 5 == 0 or epoch == num_epochs - 1:
+            probs = score_nodes(params, np.asarray(idx_valid))
+            auc = roc_auc(labels[idx_valid], probs)
+            if auc > best_auc:
+                best_auc, best_params = auc, jax.tree.map(
+                    lambda a: a.copy(), params)
+            if verbose:
+                print(f"epoch {epoch}  val AUROC {auc:.4f}  "
+                      f"loss {float(loss):.4f}")
+
+    probs = score_nodes(best_params, np.asarray(idx_test))
+    return {
+        "best_val_auc": best_auc,
+        "test_auc": roc_auc(labels[idx_test], probs),
+        "test_ap": average_precision(labels[idx_test], probs),
+        "wall_time_s": time.time() - t0,
+    }

@@ -26,6 +26,34 @@ from ggad_tpu.ops.normalize import normalize_adj_reference
 from ggad_tpu.train.losses import ggad_losses
 
 
+def maybe_bcsr(adj: Graph, impl: str, *, min_edges_per_tile: float = 8.0,
+               mem_budget_bytes: int = 4 << 30):
+    """Swap in the BCSR/Pallas MXU representation when it pays off.
+
+    Heuristic: BCSR wins when the occupied 128×128 tiles are dense enough
+    (≥ ``min_edges_per_tile`` edges per occupied tile) and the tile store
+    fits the budget; very sparse graphs (e.g. elliptic: ~1.5 edges/tile)
+    stay on the XLA gather/segment path.
+    """
+    if impl == "xla":
+        return adj
+    if impl not in ("auto", "pallas"):
+        return adj
+    if impl == "auto" and jax.default_backend() != "tpu":
+        return adj
+    from ggad_tpu.ops.pallas_spmm import TILE, as_bcsr_graph
+
+    row = np.asarray(adj.row)[: adj.n_edges]
+    col = np.asarray(adj.col)[: adj.n_edges]
+    n_pad_tiles = (adj.n_nodes + TILE - 1) // TILE
+    tiles = np.unique(row // TILE * n_pad_tiles + col // TILE).shape[0]
+    mem = 2 * tiles * TILE * TILE * 4  # fwd + bwd tile stores
+    if impl == "auto" and (adj.n_edges / max(tiles, 1) < min_edges_per_tile
+                           or mem > mem_budget_bytes):
+        return adj
+    return as_bcsr_graph(adj)
+
+
 @dataclasses.dataclass
 class TrainResult:
     params: Any
@@ -66,6 +94,7 @@ class FullBatchTrainer:
 
         graph = from_scipy(ds.adj)
         self.adj, self.raw_adj = normalize_adj_reference(graph)
+        self.adj = maybe_bcsr(self.adj, self.spmm_impl)
         self.features = jnp.asarray(ds.features, dtype=jnp.float32)
         self.seed_idx = jnp.asarray(ds.abnormal_label_idx, dtype=jnp.int32)
         self.normal_idx = jnp.asarray(ds.normal_label_idx, dtype=jnp.int32)

@@ -156,3 +156,43 @@ def test_minibatch_training_learns():
                               else idx_test, ds.ano_labels[idx_test])
     assert np.isfinite(res.best_val_auc)
     assert test_true["auc"] > 0.55, test_true
+
+
+def test_pcgnn_shapes_and_loss():
+    from ggad_tpu.models.pcgnn import PCGNN, pcgnn_loss, pcgnn_prob
+
+    mat = make_graph(150)
+    table = NeighborTable.from_scipy(mat)
+    feats = jnp.asarray(np.random.default_rng(0).normal(
+        size=(150, 12)).astype(np.float32))
+    model = PCGNN(emb_dim=16, n_relations=3, fanout1=4, fanout2=3)
+    batch = jnp.arange(24, dtype=jnp.int32)
+    params = model.init({"params": jax.random.PRNGKey(0),
+                         "sample": jax.random.PRNGKey(1)},
+                        feats, [table] * 3, batch)
+    out = model.apply(params, feats, [table] * 3, batch,
+                      rngs={"sample": jax.random.PRNGKey(2)})
+    assert out.embeds.shape == (24, 16)
+    assert out.affinity.shape == (24,)
+    assert out.scores.shape == (24, 2)
+    labels = jnp.asarray([0] * 18 + [1] * 6, jnp.int32)
+    total, cls, margin = pcgnn_loss(out, labels)
+    assert np.isfinite(float(total))
+    assert pcgnn_prob(out).shape == (24,)
+
+
+@pytest.mark.slow
+def test_minibatch_classifiers_smoke():
+    from ggad_tpu.train.baselines import run_minibatch_classifier
+
+    ds = synthetic_gad(n_nodes=800, avg_degree=10, feat_dim=16,
+                       anomaly_rate=0.08, seed=5)
+    adj = ds.adj + sp.eye(ds.n_nodes, format="csr", dtype=np.float32)
+    idx_train, idx_valid, idx_test, labels, idx_anom = minibatch_split(
+        ds.ano_labels, seed=0, pseudo_anomaly_frac=0.1)
+    for name in ("sage", "pcgnn"):
+        res = run_minibatch_classifier(
+            name, adj, ds.features, labels, idx_train, idx_anom,
+            idx_valid, idx_test, emb_dim=16, batch_size=48, n_anom=16,
+            num_batches=10, num_epochs=4)
+        assert np.isfinite(res["test_auc"]), (name, res)

@@ -1,0 +1,110 @@
+"""BCSR Pallas SpMM tests (interpret mode on the CPU test platform;
+the same kernel compiles to Mosaic on TPU — see bench.py)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import scipy.sparse as sp
+
+from ggad_tpu.graph import from_scipy
+from ggad_tpu.ops.pallas_spmm import (
+    BCSRGraph,
+    as_bcsr_graph,
+    bcsr_from_coo,
+    bcsr_spmm,
+)
+from ggad_tpu.ops.spmm import spmm
+
+
+def random_graph(n=200, density=0.05, seed=0):
+    return sp.random(n, n, density=density,
+                     random_state=np.random.RandomState(seed),
+                     format="csr", dtype=np.float32)
+
+
+def test_bcsr_structure(rng):
+    mat = random_graph(300)
+    g = from_scipy(mat)
+    b = as_bcsr_graph(g)
+    rows = np.asarray(b.tiles.fwd.tile_rows)
+    assert np.all(np.diff(rows) >= 0)  # sorted by tile-row
+    assert b.tiles.fwd.n_rows % 128 == 0
+    # values reassemble to the original matrix
+    dense = np.zeros((b.tiles.fwd.n_rows, b.tiles.fwd.n_cols), np.float32)
+    vals = np.asarray(b.tiles.fwd.values)
+    cols = np.asarray(b.tiles.fwd.tile_cols)
+    for t in range(b.tiles.fwd.n_tiles):
+        r, c = rows[t] * 128, cols[t] * 128
+        dense[r:r + 128, c:c + 128] = vals[t]
+    np.testing.assert_allclose(dense[:300, :300], mat.toarray(), rtol=1e-6)
+
+
+def test_bcsr_spmm_matches_dense(rng):
+    mat = random_graph(200)
+    g = from_scipy(mat)
+    b = as_bcsr_graph(g)
+    x = jnp.asarray(rng.normal(size=(200, 64)).astype(np.float32))
+    out = np.asarray(bcsr_spmm(b.tiles, x))
+    np.testing.assert_allclose(out, mat.toarray() @ np.asarray(x),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_bcsr_spmm_grad_matches_dense(rng):
+    mat = random_graph(150, density=0.1)
+    g = from_scipy(mat)
+    b = as_bcsr_graph(g)
+    x = jnp.asarray(rng.normal(size=(150, 32)).astype(np.float32))
+
+    grad = jax.grad(lambda x: jnp.sum(bcsr_spmm(b.tiles, x) ** 2))(x)
+    a = mat.toarray()
+    expect = 2 * a.T @ (a @ np.asarray(x))
+    np.testing.assert_allclose(np.asarray(grad), expect, rtol=1e-3,
+                               atol=1e-3)
+
+
+def test_spmm_dispatch_on_bcsr_graph(rng):
+    mat = random_graph(100)
+    g = from_scipy(mat)
+    b = as_bcsr_graph(g)
+    x = jnp.asarray(rng.normal(size=(100, 16)).astype(np.float32))
+    out_b = np.asarray(spmm(b, x))
+    out_x = np.asarray(spmm(g, x, impl="xla"))
+    np.testing.assert_allclose(out_b, out_x, rtol=1e-4, atol=1e-4)
+
+
+def test_nonsquare_feature_dims(rng):
+    """d not a multiple of 128 must pad/unpad transparently."""
+    mat = random_graph(130)
+    b = as_bcsr_graph(from_scipy(mat))
+    for d in (1, 17, 300):
+        x = jnp.asarray(rng.normal(size=(130, d)).astype(np.float32))
+        out = np.asarray(bcsr_spmm(b.tiles, x))
+        np.testing.assert_allclose(out, mat.toarray() @ np.asarray(x),
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_ggad_model_with_bcsr_adjacency(rng):
+    """Full GGAD forward over a BCSRGraph equals the XLA path."""
+    from ggad_tpu.datasets.synthetic import synthetic_gad
+    from ggad_tpu.models.ggad import GGAD
+    from ggad_tpu.ops.normalize import normalize_adj_reference
+
+    ds = synthetic_gad(n_nodes=120, avg_degree=6, feat_dim=8, seed=2)
+    adj, raw = normalize_adj_reference(from_scipy(ds.adj))
+    badj = as_bcsr_graph(adj)
+    x = jnp.asarray(ds.features)
+    si = jnp.asarray(ds.abnormal_label_idx, jnp.int32)
+    ni = jnp.asarray(ds.normal_label_idx, jnp.int32)
+    model = GGAD(n_h=16, noise_std=0.0)
+    params = model.init({"params": jax.random.PRNGKey(0),
+                         "noise": jax.random.PRNGKey(1)},
+                        adj, x, si, ni, train=True)
+    out_x = model.apply(params, adj, x, si, ni, train=True,
+                        rngs={"noise": jax.random.PRNGKey(2)})
+    out_b = model.apply(params, badj, x, si, ni, train=True,
+                        rngs={"noise": jax.random.PRNGKey(2)})
+    np.testing.assert_allclose(np.asarray(out_x.emb),
+                               np.asarray(out_b.emb), rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(out_x.logits),
+                               np.asarray(out_b.logits), rtol=1e-4,
+                               atol=1e-4)
