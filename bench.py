@@ -46,7 +46,8 @@ def bench_tpu_step(ds, n_warmup=3, n_iter=20):
         for _ in range(n):
             rng, step_rng = jax.random.split(rng)
             params, opt_state, losses = tr._train_step(
-                params, opt_state, step_rng)
+                params, opt_state, step_rng, tr.adj, tr.raw_adj,
+                tr.features, tr.seed_idx, tr.normal_idx)
         jax.block_until_ready(losses.total)
         return losses
 

@@ -101,8 +101,18 @@ def from_coo(
         val = np.ones(n_edges, dtype=np.float32)
     val = np.asarray(val, dtype=np.float32)
 
-    order = np.lexsort((col, row))
-    row, col, val = row[order], col[order], val[order]
+    if n_edges > 1_000_000:
+        # native C++ sort (matters at DGraph scale; see native/graphbuild.cpp)
+        from ggad_tpu import native
+        if native.available():
+            row32, col32, val = native.sort_coo(row, col, val)
+            row, col = row32.astype(np.int64), col32.astype(np.int64)
+        else:
+            order = np.lexsort((col, row))
+            row, col, val = row[order], col[order], val[order]
+    else:
+        order = np.lexsort((col, row))
+        row, col, val = row[order], col[order], val[order]
 
     if e_pad is None:
         e_pad = max(_round_up(max(n_edges, 1), pad_multiple), pad_multiple)

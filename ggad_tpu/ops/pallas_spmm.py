@@ -58,17 +58,22 @@ class BCSR:
 
 def bcsr_from_coo(row: np.ndarray, col: np.ndarray, val: np.ndarray,
                   n_nodes: int, dtype=np.float32) -> BCSR:
-    """Host-side BCSR construction from (unpadded) COO arrays."""
+    """Host-side BCSR construction (native C++ when available)."""
     n_pad = _round_up(max(n_nodes, TILE), TILE)
-    trow = row // TILE
-    tcol = col // TILE
-    tkey = trow.astype(np.int64) * (n_pad // TILE) + tcol
-    uniq, inv = np.unique(tkey, return_inverse=True)
-    n_tiles = len(uniq)
-    values = np.zeros((n_tiles, TILE, TILE), dtype)
-    np.add.at(values, (inv, row % TILE, col % TILE), val)
-    tile_rows = (uniq // (n_pad // TILE)).astype(np.int32)
-    tile_cols = (uniq % (n_pad // TILE)).astype(np.int32)
+    from ggad_tpu import native
+    if native.available() and dtype == np.float32:
+        tile_rows, tile_cols, values = native.bcsr_build(
+            row, col, val, n_pad // TILE)
+    else:
+        trow = row // TILE
+        tcol = col // TILE
+        tkey = trow.astype(np.int64) * (n_pad // TILE) + tcol
+        uniq, inv = np.unique(tkey, return_inverse=True)
+        n_tiles = len(uniq)
+        values = np.zeros((n_tiles, TILE, TILE), dtype)
+        np.add.at(values, (inv, row % TILE, col % TILE), val)
+        tile_rows = (uniq // (n_pad // TILE)).astype(np.int32)
+        tile_cols = (uniq % (n_pad // TILE)).astype(np.int32)
     # np.unique returns sorted keys → already (tile_row, tile_col) sorted.
     return BCSR(
         tile_rows=jnp.asarray(tile_rows),

@@ -106,7 +106,11 @@ class FullBatchTrainer:
         self.tx = optax.adamw(self.lr, weight_decay=self.weight_decay) \
             if self.weight_decay else optax.adam(self.lr)
 
-        self._train_step = jax.jit(self._train_step_impl, donate_argnums=(0, 1))
+        # graph/features enter as jit ARGUMENTS (not closure constants):
+        # closed-over BCSR tile stores would be embedded as compile-time
+        # constants and shipped with the XLA payload.
+        self._train_step = jax.jit(self._train_step_impl,
+                                   donate_argnums=(0, 1))
         self._eval_scores = jax.jit(self._eval_scores_impl)
 
     # ------------------------------------------------------------------
@@ -119,13 +123,14 @@ class FullBatchTrainer:
         opt_state = self.tx.init(params)
         return params, opt_state
 
-    def _train_step_impl(self, params, opt_state, rng):
+    def _train_step_impl(self, params, opt_state, rng, adj, raw_adj,
+                         features, seed_idx, normal_idx):
         def loss_fn(p):
             out = self.model.apply(
-                p, self.adj, self.features, self.seed_idx, self.normal_idx,
+                p, adj, features, seed_idx, normal_idx,
                 train=True, rngs={"noise": rng})
             losses = ggad_losses(
-                out, self.raw_adj, self.seed_idx, self.normal_idx,
+                out, raw_adj, seed_idx, normal_idx,
                 confidence_margin=self.confidence_margin,
                 pos_weight=self.pos_weight)
             return losses.total, losses
@@ -135,9 +140,10 @@ class FullBatchTrainer:
         params = optax.apply_updates(params, updates)
         return params, opt_state, losses
 
-    def _eval_scores_impl(self, params, rng):
+    def _eval_scores_impl(self, params, rng, adj, features, seed_idx,
+                          normal_idx):
         out = self.model.apply(
-            params, self.adj, self.features, self.seed_idx, self.normal_idx,
+            params, adj, features, seed_idx, normal_idx,
             train=False, rngs={"noise": rng})
         return out.logits[:, 0]
 
@@ -145,7 +151,9 @@ class FullBatchTrainer:
     def evaluate(self, params, rng=None, subset: str = "test") -> tuple[float, float]:
         if rng is None:
             rng = jax.random.PRNGKey(0)
-        scores = np.asarray(self._eval_scores(params, rng))
+        scores = np.asarray(self._eval_scores(
+            params, rng, self.adj, self.features, self.seed_idx,
+            self.normal_idx))
         ds = self.dataset
         idx = {"test": ds.idx_test, "val": ds.idx_val,
                "train": ds.idx_train}[subset]
@@ -163,7 +171,8 @@ class FullBatchTrainer:
         for epoch in range(self.num_epoch):
             rng, step_rng = jax.random.split(rng)
             params, opt_state, losses = self._train_step(
-                params, opt_state, step_rng)
+                params, opt_state, step_rng, self.adj, self.raw_adj,
+                self.features, self.seed_idx, self.normal_idx)
 
             rec = None
             if epoch % self.log_every == 0 or epoch == self.num_epoch - 1:
