@@ -20,7 +20,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--model", type=str, default="ggad",
                    choices=["ggad", "ggad-minibatch", "dominant",
                             "anomalydae", "ocgnn", "aegis", "gaan", "tam",
-                            "sage", "pcgnn"])
+                            "sage", "pcgnn", "dominant-minibatch",
+                            "anomalydae-minibatch", "aegis-minibatch"])
     p.add_argument("--lr", type=float, default=None)
     p.add_argument("--weight_decay", type=float, default=0.0)
     p.add_argument("--seed", type=int, default=0)
@@ -81,7 +82,9 @@ def main(argv=None) -> int:
         return 0
 
     if args.model in ("dominant", "anomalydae", "ocgnn", "aegis", "gaan",
-                      "tam", "sage", "pcgnn", "ggad-minibatch"):
+                      "tam", "sage", "pcgnn", "ggad-minibatch",
+                      "dominant-minibatch", "anomalydae-minibatch",
+                      "aegis-minibatch"):
         from ggad_tpu.train.baselines import run_baseline
         res = run_baseline(args.model, ds, args)
         print(json.dumps(res))

@@ -371,7 +371,123 @@ def run_minibatch_model(name: str, ds: GADDataset, args) -> dict:
             lr=args.lr or 1e-3, seed=args.seed, verbose=True)
         res.update({"model": name, "dataset": ds.name})
         return res
+    if name in ("dominant-minibatch", "anomalydae-minibatch",
+                "aegis-minibatch"):
+        res = run_minibatch_recon(
+            name, adj, ds.features, labels, idx_train, idx_valid, idx_test,
+            num_epochs=args.num_epoch or 30, lr=args.lr or 1e-3,
+            seed=args.seed, verbose=True)
+        res.update({"model": name, "dataset": ds.name})
+        return res
     raise ValueError(name)
+
+
+def run_minibatch_recon(name, adj, features, labels, idx_train, idx_valid,
+                        idx_test, *, emb_dim: int = 64, batch_size: int = 150,
+                        num_batches: int = 50, num_epochs: int = 30,
+                        lr: float = 1e-3, seed: int = 0,
+                        verbose: bool = False) -> dict:
+    """Drivers for the C27–C29 minibatch baselines
+    (reference ``src/model_handler_dominate.py`` etc.)."""
+    from ggad_tpu.models.sage_recon import (
+        MiniBatchAEGIS,
+        MiniBatchRecon,
+        aegis_mb_losses,
+    )
+    from ggad_tpu.ops.metrics import average_precision, roc_auc
+    from ggad_tpu.sampler.neighbor import NeighborTable
+
+    table = NeighborTable.from_scipy(adj)
+    feats = jnp.asarray(features, jnp.float32)
+    labels = np.asarray(labels)
+    rng = jax.random.PRNGKey(seed)
+
+    if name == "aegis-minibatch":
+        model = MiniBatchAEGIS(emb_dim=emb_dim)
+        rng, nk = jax.random.split(rng)
+        noise_table = jax.random.normal(nk, feats.shape)
+
+        def loss_fn(p, batch, key):
+            out = model.apply(p, feats, noise_table, table, batch,
+                              rngs={"sample": key})
+            ld, lg = aegis_mb_losses(out)
+            return ld + lg
+
+        def score_fn(p, batch, key):
+            out = model.apply(p, feats, noise_table, table, batch,
+                              rngs={"sample": key})
+            return out.prob_real
+
+        rng, ik, sk = jax.random.split(rng, 3)
+        params = model.init({"params": ik, "sample": sk}, feats,
+                            noise_table, table,
+                            jnp.zeros(batch_size, jnp.int32))
+    else:
+        model = MiniBatchRecon(
+            emb_dim=emb_dim,
+            pos_weighted=(name == "anomalydae-minibatch"))
+
+        def loss_fn(p, batch, key):
+            x_rec = model.apply(p, feats, table, batch,
+                                rngs={"sample": key})
+            return model.train_loss(x_rec, feats[batch])
+
+        def score_fn(p, batch, key):
+            x_rec = model.apply(p, feats, table, batch,
+                                rngs={"sample": key})
+            return MiniBatchRecon.scores(x_rec, feats[batch])
+
+        rng, ik, sk = jax.random.split(rng, 3)
+        params = model.init({"params": ik, "sample": sk}, feats, table,
+                            jnp.zeros(batch_size, jnp.int32))
+
+    tx = optax.adam(lr)
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def train_step(params, opt_state, batch, key):
+        loss, grads = jax.value_and_grad(loss_fn)(params, batch, key)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    eval_batch = 1024
+
+    @jax.jit
+    def eval_step(params, batch, key):
+        return score_fn(params, batch, key)
+
+    def score_nodes(params, ids):
+        out = np.empty(len(ids), np.float32)
+        key = jax.random.PRNGKey(999)
+        for s in range(0, len(ids), eval_batch):
+            chunk = ids[s:s + eval_batch]
+            pad = eval_batch - len(chunk)
+            padded = np.concatenate([chunk, np.zeros(pad, np.int64)])
+            key, sub = jax.random.split(key)
+            sc = np.asarray(eval_step(params,
+                                      jnp.asarray(padded, jnp.int32), sub))
+            out[s:s + eval_batch] = sc[: len(chunk)]
+        return out
+
+    host_rng = np.random.default_rng(seed)
+    pool = np.asarray(idx_train, np.int64)
+    t0 = time.time()
+    loss = jnp.zeros(())
+    for epoch in range(num_epochs):
+        for _ in range(num_batches):
+            ids = host_rng.choice(pool, batch_size, replace=True)
+            rng, sub = jax.random.split(rng)
+            params, opt_state, loss = train_step(
+                params, opt_state, jnp.asarray(ids, jnp.int32), sub)
+        if verbose and epoch % 5 == 0:
+            print(f"epoch {epoch}  loss {float(loss):.4f}")
+
+    probs = score_nodes(params, np.asarray(idx_test))
+    return {
+        "test_auc": roc_auc(labels[idx_test], probs),
+        "test_ap": average_precision(labels[idx_test], probs),
+        "wall_time_s": time.time() - t0,
+    }
 
 
 def run_minibatch_classifier(name, adj, features, labels, idx_train,

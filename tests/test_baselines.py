@@ -165,3 +165,21 @@ class TestTAM:
                                num_epoch=40, lr=1e-4)
         assert np.isfinite(res.auc)
         assert res.auc > 0.45  # sanity: not anti-correlated
+
+
+@pytest.mark.parametrize("name", ["dominant-minibatch",
+                                  "anomalydae-minibatch",
+                                  "aegis-minibatch"])
+def test_minibatch_recon_baselines_smoke(name):
+    from ggad_tpu.datasets.splits import minibatch_split
+    from ggad_tpu.train.baselines import run_minibatch_recon
+
+    ds = synthetic_gad(n_nodes=500, avg_degree=8, feat_dim=12,
+                       anomaly_rate=0.08, seed=9)
+    adj = ds.adj + sp.eye(ds.n_nodes, format="csr", dtype=np.float32)
+    idx_train, idx_valid, idx_test, labels, _ = minibatch_split(
+        ds.ano_labels, seed=0)
+    res = run_minibatch_recon(name, adj, ds.features, labels, idx_train,
+                              idx_valid, idx_test, emb_dim=16,
+                              batch_size=32, num_batches=8, num_epochs=3)
+    assert np.isfinite(res["test_auc"]), res
