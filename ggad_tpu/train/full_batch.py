@@ -81,6 +81,9 @@ class FullBatchTrainer:
     log_every: int = 2
     spmm_impl: str = "auto"
     logger: Optional[Callable[[dict], None]] = None
+    scan_steps: int = 1            # steps fused per dispatch (lax.scan)
+    checkpoint_dir: Optional[str] = None
+    profile_dir: Optional[str] = None  # jax.profiler trace of steps 2..4
 
     def __post_init__(self):
         ds = self.dataset
@@ -111,6 +114,9 @@ class FullBatchTrainer:
         # constants and shipped with the XLA payload.
         self._train_step = jax.jit(self._train_step_impl,
                                    donate_argnums=(0, 1))
+        self._train_scan = jax.jit(self._train_scan_impl,
+                                   donate_argnums=(0, 1),
+                                   static_argnums=(8,))
         self._eval_scores = jax.jit(self._eval_scores_impl)
 
     # ------------------------------------------------------------------
@@ -140,6 +146,23 @@ class FullBatchTrainer:
         params = optax.apply_updates(params, updates)
         return params, opt_state, losses
 
+    def _train_scan_impl(self, params, opt_state, rng, adj, raw_adj,
+                         features, seed_idx, normal_idx, n_steps: int):
+        """``n_steps`` fused training steps per dispatch (amortizes host
+        round-trips; the reference pays a full python epoch per step)."""
+        def body(carry, key):
+            params, opt_state = carry
+            params, opt_state, losses = self._train_step_impl(
+                params, opt_state, key, adj, raw_adj, features, seed_idx,
+                normal_idx)
+            return (params, opt_state), losses
+
+        keys = jax.random.split(rng, n_steps)
+        (params, opt_state), losses = jax.lax.scan(
+            body, (params, opt_state), keys)
+        last = jax.tree.map(lambda a: a[-1], losses)
+        return params, opt_state, last
+
     def _eval_scores_impl(self, params, rng, adj, features, seed_idx,
                           normal_idx):
         out = self.model.apply(
@@ -166,13 +189,56 @@ class FullBatchTrainer:
         rng, init_rng = jax.random.split(rng)
         params, opt_state = self.init(init_rng)
 
+        ckpt = None
+        start_epoch = 0
+        if self.checkpoint_dir:
+            from ggad_tpu.train.checkpoint import Checkpointer
+            ckpt = Checkpointer(self.checkpoint_dir)
+            template = jax.device_get(
+                {"params": params, "opt_state": opt_state,
+                 "rng": rng, "epoch": 0})
+            restored = ckpt.restore(template=template)
+            if restored is not None:
+                params = jax.device_put(restored["params"])
+                opt_state = jax.device_put(restored["opt_state"])
+                rng = jnp.asarray(restored["rng"])
+                start_epoch = int(restored["epoch"]) + 1
+
         history = []
         t0 = time.time()
-        for epoch in range(self.num_epoch):
+        epoch = start_epoch
+        while epoch < self.num_epoch:
+            if (self.profile_dir and epoch >= 2
+                    and jax.default_backend() == "tpu"
+                    and not getattr(self, "_trace_started", False)):
+                jax.profiler.start_trace(self.profile_dir)
+                self._trace_started = True
+            # fuse steps up to the next log/eval boundary
+            boundaries = [e for e in range(epoch + 1, self.num_epoch + 1)
+                          if e % self.log_every == 0
+                          or e % self.eval_every == 0
+                          or e == self.num_epoch]
+            chunk = min(max(boundaries[0] - epoch, 1), self.scan_steps) \
+                if self.scan_steps > 1 else 1
             rng, step_rng = jax.random.split(rng)
-            params, opt_state, losses = self._train_step(
-                params, opt_state, step_rng, self.adj, self.raw_adj,
-                self.features, self.seed_idx, self.normal_idx)
+            if chunk > 1:
+                params, opt_state, losses = self._train_scan(
+                    params, opt_state, step_rng, self.adj, self.raw_adj,
+                    self.features, self.seed_idx, self.normal_idx, chunk)
+                epoch += chunk - 1
+            else:
+                params, opt_state, losses = self._train_step(
+                    params, opt_state, step_rng, self.adj, self.raw_adj,
+                    self.features, self.seed_idx, self.normal_idx)
+            if (self.profile_dir and epoch >= 4
+                    and jax.default_backend() == "tpu"
+                    and not getattr(self, "_trace_done", False)):
+                jax.block_until_ready(losses.total)
+                try:
+                    jax.profiler.stop_trace()
+                except RuntimeError:
+                    pass
+                self._trace_done = True
 
             rec = None
             if epoch % self.log_every == 0 or epoch == self.num_epoch - 1:
@@ -194,6 +260,12 @@ class FullBatchTrainer:
                 history.append(rec)
                 if self.logger is not None:
                     self.logger(rec)
+            if (ckpt is not None and (epoch % self.eval_every == 0
+                                      or epoch == self.num_epoch - 1)):
+                ckpt.save(epoch, jax.device_get(
+                    {"params": params, "opt_state": opt_state,
+                     "rng": rng, "epoch": epoch}))
+            epoch += 1
 
         wall = time.time() - t0
         final_auc, final_ap = self.evaluate(params)

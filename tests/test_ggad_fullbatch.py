@@ -213,3 +213,31 @@ def test_training_improves_auc():
     res = tr.train()
     assert res.final_auc > 0.65
     assert res.final_auc > auc0 + 0.1
+
+
+def test_scan_steps_equivalent_to_loop():
+    """scan_steps fusing must produce identical training trajectories."""
+    ds = synthetic_gad(n_nodes=150, avg_degree=6, feat_dim=8, seed=4)
+    r1 = FullBatchTrainer(ds, num_epoch=8, embedding_dim=16,
+                          noise_std=0.0, eval_every=8, log_every=8,
+                          scan_steps=1).train()
+    r2 = FullBatchTrainer(ds, num_epoch=8, embedding_dim=16,
+                          noise_std=0.0, eval_every=8, log_every=8,
+                          scan_steps=4).train()
+    assert r1.final_auc == pytest.approx(r2.final_auc, abs=1e-6)
+
+
+def test_checkpoint_resume(tmp_path):
+    ds = synthetic_gad(n_nodes=150, avg_degree=6, feat_dim=8, seed=4)
+    ckdir = str(tmp_path / "ck")
+    kw = dict(num_epoch=6, embedding_dim=16, noise_std=0.0,
+              eval_every=2, log_every=2, checkpoint_dir=ckdir)
+    full = FullBatchTrainer(ds, **{**kw, "checkpoint_dir": None}).train()
+    # run 6 epochs with checkpointing, then "resume" (should be a no-op
+    # continuation past the last saved epoch)
+    tr = FullBatchTrainer(ds, **kw)
+    res = tr.train()
+    tr2 = FullBatchTrainer(ds, **kw)
+    res2 = tr2.train()   # restores epoch 5, trains nothing more
+    assert res2.final_auc == pytest.approx(res.final_auc, abs=1e-6)
+    assert len(res2.history) == 0
