@@ -1,0 +1,122 @@
+"""BCSR SDDMM column-sum Pallas kernel — the MXU path for the affinity
+numerator.
+
+The GGAD affinity loss needs, per node j,
+
+    num_j = Σ_i a_ij · ⟨n_i, n_j⟩       (n = row-normalized embeddings)
+
+i.e. the column sums of A ∘ (N Nᵀ). The XLA edge-parallel formulation
+(gather two [E, d] operand sets, dot, scatter-add) moves ~1 GB of HBM per
+call and dominates the training step (profiled: ~2/3 of step time). On
+the tile-dense GAD graphs the same quantity is a per-tile MXU contraction:
+
+    for each occupied 128×128 tile t of Aᵀ (sorted by tile-row = original
+    column block):   out[trow] += Σ_c (Aᵀ_t ∘ (N[trow] @ N[tcol]ᵀ))[:, c]
+
+The backward pass needs no new kernel: with cotangent g on num,
+
+    dN = A @ (g ⊙ N) + g ⊙ (Aᵀ @ N)
+
+— two calls of the existing BCSR SpMM matmul.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+from ggad_tpu.ops.pallas_spmm import (
+    TILE,
+    BCSRPair,
+    _bcsr_matmul_raw,
+    _pad_h,
+    _pick_d_tile,
+    _round_up,
+)
+
+
+def _sddmm_colsum_kernel(tile_rows_ref, tile_cols_ref, vals_ref,
+                         e_row_ref, e_col_ref, out_ref):
+    t = pl.program_id(0)
+
+    @pl.when((t == 0) | (tile_rows_ref[t] != tile_rows_ref[
+        jnp.maximum(t - 1, 0)]))
+    def _zero():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    m = jax.lax.dot_general(
+        e_row_ref[...], e_col_ref[...],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)
+    out_ref[...] += jnp.sum(vals_ref[0] * m, axis=1)[None, :]
+
+
+def _sddmm_colsum_raw(tiles, emb_n: jax.Array) -> jax.Array:
+    """Row sums of (M ∘ (E Eᵀ)) for a BCSR matrix M; returns [n_rows]."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    n_t = tiles.n_tiles
+    d_pad = emb_n.shape[1]
+    n_blocks = tiles.n_rows // TILE
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_t,),
+        in_specs=[
+            pl.BlockSpec((1, TILE, TILE), lambda t, rows, cols: (t, 0, 0)),
+            pl.BlockSpec((TILE, d_pad), lambda t, rows, cols: (rows[t], 0)),
+            pl.BlockSpec((TILE, d_pad), lambda t, rows, cols: (cols[t], 0)),
+        ],
+        out_specs=pl.BlockSpec((1, TILE), lambda t, rows, cols:
+                               (rows[t], 0)),
+    )
+    out = pl.pallas_call(
+        _sddmm_colsum_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_blocks, TILE), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n_t * TILE * TILE * d_pad,
+            bytes_accessed=n_t * (TILE * TILE + 2 * TILE * d_pad) * 4,
+            transcendentals=0),
+        interpret=jax.default_backend() != "tpu",
+    )(tiles.tile_rows, tiles.tile_cols, tiles.values, emb_n, emb_n)
+    return out.reshape(-1)
+
+
+@jax.custom_vjp
+def bcsr_sddmm_colsum(pair: BCSRPair, emb_n: jax.Array) -> jax.Array:
+    """num_j = Σ_i A_ij ⟨n_i, n_j⟩ over the BCSR matrix; returns [N].
+
+    Differentiable in ``emb_n``; the matrix is constant.
+    """
+    return _colsum_fwd_only(pair, emb_n)
+
+
+def _colsum_fwd_only(pair: BCSRPair, emb_n: jax.Array) -> jax.Array:
+    n, d = emb_n.shape
+    d_pad = _round_up(max(d, TILE), TILE)
+    ep = jnp.pad(emb_n, ((0, pair.bwd.n_rows - n), (0, d_pad - d)))
+    # column sums of A == row sums of Aᵀ → iterate the bwd tile set
+    return _sddmm_colsum_raw(pair.bwd, ep)[:n]
+
+
+def _colsum_vjp_fwd(pair, emb_n):
+    return _colsum_fwd_only(pair, emb_n), (pair, emb_n)
+
+
+def _colsum_vjp_bwd(res, g):
+    pair, emb_n = res
+    n, d = emb_n.shape
+    d_tile = _pick_d_tile(d)
+    gn = _pad_h(g[:, None] * emb_n, pair.fwd.n_cols, d_tile)
+    term1 = _bcsr_matmul_raw(pair.fwd, gn, d_tile)[:n, :d]
+    ep = _pad_h(emb_n, pair.bwd.n_cols, d_tile)
+    term2 = g[:, None] * _bcsr_matmul_raw(pair.bwd, ep, d_tile)[:n, :d]
+    return None, term1 + term2
+
+
+bcsr_sddmm_colsum.defvjp(_colsum_vjp_fwd, _colsum_vjp_bwd)

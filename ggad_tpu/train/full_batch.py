@@ -98,6 +98,7 @@ class FullBatchTrainer:
         graph = from_scipy(ds.adj)
         self.adj, self.raw_adj = normalize_adj_reference(graph)
         self.adj = maybe_bcsr(self.adj, self.spmm_impl)
+        self.raw_adj = maybe_bcsr(self.raw_adj, self.spmm_impl)
         self.features = jnp.asarray(ds.features, dtype=jnp.float32)
         self.seed_idx = jnp.asarray(ds.abnormal_label_idx, dtype=jnp.int32)
         self.normal_idx = jnp.asarray(ds.normal_label_idx, dtype=jnp.int32)

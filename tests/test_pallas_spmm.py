@@ -108,3 +108,38 @@ def test_ggad_model_with_bcsr_adjacency(rng):
     np.testing.assert_allclose(np.asarray(out_x.logits),
                                np.asarray(out_b.logits), rtol=1e-4,
                                atol=1e-4)
+
+
+def test_bcsr_sddmm_colsum_matches_xla(rng):
+    from ggad_tpu.graph import add_self_loops
+    from ggad_tpu.ops.pallas_sddmm import bcsr_sddmm_colsum
+    from ggad_tpu.ops.sddmm import l2_normalize_rows, node_affinity
+
+    mat = random_graph(150, density=0.08, seed=3)
+    mat = ((mat + mat.T) > 0).astype(np.float32)
+    g = add_self_loops(from_scipy(sp.csr_matrix(mat)))
+    b = as_bcsr_graph(g)
+    emb = jnp.asarray(rng.normal(size=(150, 20)).astype(np.float32))
+    emb_n = l2_normalize_rows(emb)
+
+    num = np.asarray(bcsr_sddmm_colsum(b.tiles, emb_n))
+    e = np.asarray(emb_n)
+    from ggad_tpu.graph import to_scipy
+    a = to_scipy(g).toarray()
+    expect = (a * (e @ e.T)).sum(0)
+    np.testing.assert_allclose(num, expect, rtol=1e-4, atol=1e-4)
+
+    # full affinity dispatch equality + gradient equality
+    aff_b = np.asarray(node_affinity(b, emb))
+    aff_x = np.asarray(node_affinity(g, emb))
+    np.testing.assert_allclose(aff_b, aff_x, rtol=1e-4, atol=1e-4)
+
+    def loss_b(e):
+        return jnp.sum(node_affinity(b, e) ** 2)
+
+    def loss_x(e):
+        return jnp.sum(node_affinity(g, e) ** 2)
+
+    g_b = np.asarray(jax.grad(loss_b)(emb))
+    g_x = np.asarray(jax.grad(loss_x)(emb))
+    np.testing.assert_allclose(g_b, g_x, rtol=1e-3, atol=1e-4)
