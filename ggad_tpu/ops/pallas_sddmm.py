@@ -52,7 +52,9 @@ def _sddmm_colsum_kernel(tile_rows_ref, tile_cols_ref, vals_ref,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST)
-    out_ref[...] += jnp.sum(vals_ref[0] * m, axis=1)[None, :]
+    # out block is (1, 8, TILE) to satisfy Mosaic's (8, 128) tiling; the
+    # row-block result lives in sublane 0.
+    out_ref[0, 0:1, :] += jnp.sum(vals_ref[0] * m, axis=1)[None, :]
 
 
 def _sddmm_colsum_raw(tiles, emb_n: jax.Array) -> jax.Array:
@@ -71,20 +73,20 @@ def _sddmm_colsum_raw(tiles, emb_n: jax.Array) -> jax.Array:
             pl.BlockSpec((TILE, d_pad), lambda t, rows, cols: (rows[t], 0)),
             pl.BlockSpec((TILE, d_pad), lambda t, rows, cols: (cols[t], 0)),
         ],
-        out_specs=pl.BlockSpec((1, TILE), lambda t, rows, cols:
-                               (rows[t], 0)),
+        out_specs=pl.BlockSpec((1, 8, TILE), lambda t, rows, cols:
+                               (rows[t], 0, 0)),
     )
     out = pl.pallas_call(
         _sddmm_colsum_kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n_blocks, TILE), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n_blocks, 8, TILE), jnp.float32),
         cost_estimate=pl.CostEstimate(
             flops=2 * n_t * TILE * TILE * d_pad,
             bytes_accessed=n_t * (TILE * TILE + 2 * TILE * d_pad) * 4,
             transcendentals=0),
         interpret=jax.default_backend() != "tpu",
     )(tiles.tile_rows, tiles.tile_cols, tiles.values, emb_n, emb_n)
-    return out.reshape(-1)
+    return out[:, 0, :].reshape(-1)
 
 
 @jax.custom_vjp

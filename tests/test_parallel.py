@@ -104,3 +104,19 @@ def test_dryrun_multichip_entrypoint():
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(8)
+
+
+def test_dp_minibatch_step(mesh):
+    import scipy.sparse as sp
+
+    from ggad_tpu.parallel.minibatch_dp import run_dp_minibatch_demo
+
+    ds = synthetic_gad(n_nodes=300, avg_degree=8, feat_dim=12, seed=1)
+    adj = ds.adj + sp.eye(ds.n_nodes, format="csr", dtype=np.float32)
+    rng = np.random.default_rng(0)
+    batch = rng.integers(0, ds.n_nodes, 32 + 16)
+    loss8 = run_dp_minibatch_demo(mesh, adj, ds.features, batch, n_anom=16)
+    loss1 = run_dp_minibatch_demo(make_mesh(1), adj, ds.features, batch,
+                                  n_anom=16)
+    assert np.isfinite(loss8)
+    assert loss8 == pytest.approx(loss1, rel=1e-4)
