@@ -95,14 +95,24 @@ def synthetic_gad(
 
     keep = src != dst
     src, dst = src[keep], dst[keep]
-    adj = sp.coo_matrix(
-        (np.ones(len(src), dtype=np.float32), (src, dst)),
-        shape=(n_nodes, n_nodes))
-    adj = adj.maximum(adj.T)           # symmetrize
-    adj.data[:] = 1.0                  # binary, like the reference graphs
-    adj = adj.tocsr()
-    adj.setdiag(0)
-    adj.eliminate_zeros()
+    from ggad_tpu import native
+    if n_nodes >= 200_000 and native.available():
+        # native C++ symmetrize+dedup+CSR: scipy's maximum(adj.T) is the
+        # bottleneck at DGraph scale (tens of millions of edges)
+        rows, cols, vals = native.symmetrize(src.astype(np.int32),
+                                             dst.astype(np.int32), None)
+        indptr = native.build_indptr(rows, n_nodes)
+        adj = sp.csr_matrix((vals, cols, indptr),
+                            shape=(n_nodes, n_nodes))
+    else:
+        adj = sp.coo_matrix(
+            (np.ones(len(src), dtype=np.float32), (src, dst)),
+            shape=(n_nodes, n_nodes))
+        adj = adj.maximum(adj.T)       # symmetrize
+        adj.data[:] = 1.0              # binary, like the reference graphs
+        adj = adj.tocsr()
+        adj.setdiag(0)
+        adj.eliminate_zeros()
 
     split = reference_split(labels, seed=split_seed, seed_frac=seed_frac)
     return GADDataset(

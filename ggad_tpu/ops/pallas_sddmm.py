@@ -47,14 +47,23 @@ def _sddmm_colsum_kernel(tile_rows_ref, tile_cols_ref, vals_ref,
     def _zero():
         out_ref[...] = jnp.zeros_like(out_ref)
 
-    m = jax.lax.dot_general(
-        e_row_ref[...], e_col_ref[...],
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST)
+    vals = vals_ref[0]
+    er, ec = e_row_ref[...], e_col_ref[...]
+    if vals.dtype == jnp.bfloat16:
+        m = jax.lax.dot_general(
+            er.astype(jnp.bfloat16), ec.astype(jnp.bfloat16),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        vals = vals.astype(jnp.float32)
+    else:
+        m = jax.lax.dot_general(
+            er, ec,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
     # out block is (1, 8, TILE) to satisfy Mosaic's (8, 128) tiling; the
     # row-block result lives in sublane 0.
-    out_ref[0, 0:1, :] += jnp.sum(vals_ref[0] * m, axis=1)[None, :]
+    out_ref[0, 0:1, :] += jnp.sum(vals * m, axis=1)[None, :]
 
 
 def _sddmm_colsum_raw(tiles, emb_n: jax.Array) -> jax.Array:

@@ -93,11 +93,19 @@ def _bcsr_matmul_kernel(tile_rows_ref, tile_cols_ref, vals_ref, h_ref,
     def _zero():
         out_ref[...] = jnp.zeros_like(out_ref)
 
-    # HIGHEST keeps true-f32 accuracy on the MXU (default is bf16-level,
-    # which breaks 1e-4 parity with the reference math).
-    out_ref[...] += jax.lax.dot(
-        vals_ref[0], h_ref[...], preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST)
+    a = vals_ref[0]
+    h = h_ref[...]
+    if a.dtype == jnp.bfloat16:
+        # 1-pass bf16 MXU multiply, f32 accumulation (opt-in fast mode)
+        out_ref[...] += jax.lax.dot(
+            a, h.astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32)
+    else:
+        # HIGHEST keeps true-f32 accuracy on the MXU (default is
+        # bf16-level, which breaks 1e-4 parity with the reference math).
+        out_ref[...] += jax.lax.dot(
+            a, h, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
 
 
 def _bcsr_matmul_raw(m: BCSR, h: jax.Array, d_tile: int = 512) -> jax.Array:
@@ -147,12 +155,20 @@ class BCSRPair:
 
 
 def bcsr_pair_from_graph(g, dtype=np.float32) -> BCSRPair:
-    """Build forward/backward BCSR from a :class:`ggad_tpu.graph.Graph`."""
+    """Build forward/backward BCSR from a :class:`ggad_tpu.graph.Graph`.
+
+    ``dtype=jnp.bfloat16`` stores tiles in bf16 and switches the kernels
+    to 1-pass bf16 MXU multiplies (≈6× MXU throughput; breaks 1e-4
+    activation parity by construction — opt-in).
+    """
     row = np.asarray(g.row)[: g.n_edges]
     col = np.asarray(g.col)[: g.n_edges]
     val = np.asarray(g.val)[: g.n_edges]
-    fwd = bcsr_from_coo(row, col, val, g.n_nodes, dtype)
-    bwd = bcsr_from_coo(col, row, val, g.n_nodes, dtype)
+    fwd = bcsr_from_coo(row, col, val, g.n_nodes, np.float32)
+    bwd = bcsr_from_coo(col, row, val, g.n_nodes, np.float32)
+    if dtype in (jnp.bfloat16, "bfloat16"):
+        fwd = dataclasses.replace(fwd, values=fwd.values.astype(jnp.bfloat16))
+        bwd = dataclasses.replace(bwd, values=bwd.values.astype(jnp.bfloat16))
     return BCSRPair(fwd=fwd, bwd=bwd, n_nodes=g.n_nodes)
 
 
@@ -248,8 +264,8 @@ class BCSRGraph:
         return self.graph.in_degrees()
 
 
-def as_bcsr_graph(g) -> BCSRGraph:
-    return BCSRGraph(graph=g, tiles=bcsr_pair_from_graph(g))
+def as_bcsr_graph(g, dtype=np.float32) -> BCSRGraph:
+    return BCSRGraph(graph=g, tiles=bcsr_pair_from_graph(g, dtype))
 
 
 def bcsr_spmm_graph(g, x: jax.Array) -> jax.Array:

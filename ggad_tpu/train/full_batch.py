@@ -27,7 +27,7 @@ from ggad_tpu.train.losses import ggad_losses
 
 
 def maybe_bcsr(adj: Graph, impl: str, *, min_edges_per_tile: float = 8.0,
-               mem_budget_bytes: int = 4 << 30):
+               mem_budget_bytes: int = 4 << 30, dtype="float32"):
     """Swap in the BCSR/Pallas MXU representation when it pays off.
 
     Heuristic: BCSR wins when the occupied 128×128 tiles are dense enough
@@ -48,10 +48,12 @@ def maybe_bcsr(adj: Graph, impl: str, *, min_edges_per_tile: float = 8.0,
     n_pad_tiles = (adj.n_nodes + TILE - 1) // TILE
     tiles = np.unique(row // TILE * n_pad_tiles + col // TILE).shape[0]
     mem = 2 * tiles * TILE * TILE * 4  # fwd + bwd tile stores
+    if dtype in ("bfloat16", jnp.bfloat16):
+        mem //= 2
     if impl == "auto" and (adj.n_edges / max(tiles, 1) < min_edges_per_tile
                            or mem > mem_budget_bytes):
         return adj
-    return as_bcsr_graph(adj)
+    return as_bcsr_graph(adj, dtype=dtype)
 
 
 @dataclasses.dataclass
@@ -80,6 +82,7 @@ class FullBatchTrainer:
     eval_every: int = 10
     log_every: int = 2
     spmm_impl: str = "auto"
+    spmm_dtype: str = "float32"    # "bfloat16": 1-pass MXU fast mode
     logger: Optional[Callable[[dict], None]] = None
     scan_steps: int = 1            # steps fused per dispatch (lax.scan)
     checkpoint_dir: Optional[str] = None
@@ -97,8 +100,10 @@ class FullBatchTrainer:
 
         graph = from_scipy(ds.adj)
         self.adj, self.raw_adj = normalize_adj_reference(graph)
-        self.adj = maybe_bcsr(self.adj, self.spmm_impl)
-        self.raw_adj = maybe_bcsr(self.raw_adj, self.spmm_impl)
+        self.adj = maybe_bcsr(self.adj, self.spmm_impl,
+                              dtype=self.spmm_dtype)
+        self.raw_adj = maybe_bcsr(self.raw_adj, self.spmm_impl,
+                                  dtype=self.spmm_dtype)
         self.features = jnp.asarray(ds.features, dtype=jnp.float32)
         self.seed_idx = jnp.asarray(ds.abnormal_label_idx, dtype=jnp.int32)
         self.normal_idx = jnp.asarray(ds.normal_label_idx, dtype=jnp.int32)

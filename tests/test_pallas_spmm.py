@@ -143,3 +143,20 @@ def test_bcsr_sddmm_colsum_matches_xla(rng):
     g_b = np.asarray(jax.grad(loss_b)(emb))
     g_x = np.asarray(jax.grad(loss_x)(emb))
     np.testing.assert_allclose(g_b, g_x, rtol=1e-3, atol=1e-4)
+
+
+def test_bcsr_bf16_mode_close(rng):
+    """bf16 tile mode: same math at reduced precision (loose tolerance)."""
+    mat = random_graph(200, density=0.08, seed=5)
+    g = from_scipy(mat)
+    b16 = as_bcsr_graph(g, dtype=jnp.bfloat16)
+    x = jnp.asarray(rng.normal(size=(200, 64)).astype(np.float32))
+    out = np.asarray(bcsr_spmm(b16.tiles, x))
+    expect = mat.toarray() @ np.asarray(x)
+    scale = np.abs(expect).max()
+    assert np.abs(out - expect).max() < 0.05 * scale
+    # grads still flow
+    grad = jax.grad(lambda x: jnp.sum(bcsr_spmm(b16.tiles, x) ** 2))(x)
+    a = mat.toarray()
+    eg = 2 * a.T @ (a @ np.asarray(x))
+    assert np.abs(np.asarray(grad) - eg).max() < 0.05 * np.abs(eg).max()
