@@ -39,6 +39,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--log_jsonl", type=str, default=None,
                    help="write per-epoch metric records to this jsonl file")
     p.add_argument("--checkpoint_dir", type=str, default=None)
+    p.add_argument("--config", type=str, default=None,
+                   help="YAML config (list-valued keys expand to a grid)")
+    p.add_argument("--multi_run", action="store_true",
+                   help="run the full config grid, aggregate mean±std")
+    p.add_argument("--scan_steps", type=int, default=1)
+    p.add_argument("--spmm_dtype", type=str, default="float32",
+                   choices=["float32", "bfloat16"])
     return p
 
 
@@ -48,6 +55,9 @@ def main(argv=None) -> int:
     from ggad_tpu.datasets.loaders import load_dataset
     from ggad_tpu.datasets.registry import preset_for
     from ggad_tpu.utils.logging import JsonlLogger
+
+    if args.config:
+        return run_from_config(args)
 
     preset = preset_for(args.dataset)
     logger = JsonlLogger(args.log_jsonl) if args.log_jsonl else None
@@ -73,6 +83,9 @@ def main(argv=None) -> int:
             seed=args.seed,
             eval_every=args.eval_every,
             spmm_impl=args.spmm_impl,
+            spmm_dtype=args.spmm_dtype,
+            scan_steps=args.scan_steps,
+            checkpoint_dir=args.checkpoint_dir,
             logger=logger.log if logger else None,
         )
         res = trainer.train(verbose=True)
@@ -91,6 +104,56 @@ def main(argv=None) -> int:
         return 0
 
     raise SystemExit(f"unknown model {args.model}")
+
+
+def run_from_config(args) -> int:
+    """YAML config (+ optional grid multi-run) path — reference
+    ``src/main.py`` equivalent."""
+    from ggad_tpu.datasets.loaders import load_dataset
+    from ggad_tpu.datasets.splits import minibatch_split
+    from ggad_tpu.train.config import load_config, multi_run
+    from ggad_tpu.train.minibatch import MiniBatchTrainer
+
+    cfg = load_config(args.config)
+
+    def run_one(cnf: dict) -> dict:
+        import scipy.sparse as sp
+
+        import numpy as np
+
+        ds = load_dataset(cnf["data_name"], data_dir=cnf.get("data_dir"),
+                          seed=cnf.get("seed", 72),
+                          synthetic_scale=args.synthetic_scale)
+        adj = ds.adj + sp.eye(ds.n_nodes, format="csr", dtype=np.float32)
+        idx_train, idx_valid, idx_test, labels, idx_anom = minibatch_split(
+            ds.ano_labels, seed=cnf.get("seed", 72),
+            test_ratio=cnf.get("test_ratio", 0.67))
+        tr = MiniBatchTrainer(
+            adj=adj, features=ds.features, labels=labels,
+            idx_train=idx_train, idx_anomaly=idx_anom,
+            idx_valid=idx_valid, idx_test=idx_test,
+            emb_dim=cnf.get("emb_size", 64),
+            lr=cnf.get("lr", 1e-3),
+            weight_decay=cnf.get("weight_decay", 0.007),
+            batch_size=cnf.get("batch_size", 150),
+            num_epochs=args.num_epoch or cnf.get("num_epochs", 100),
+            valid_epochs=cnf.get("valid_epochs", 5),
+            thres=cnf.get("thres", 0.4),
+            seed=cnf.get("seed", 72),
+        )
+        res = tr.train(verbose=True)
+        out = dict(res.test_metrics)
+        out["best_val_auc"] = res.best_val_auc
+        return out
+
+    if args.multi_run:
+        agg = multi_run(cfg, run_one)
+        print(json.dumps({k: v for k, v in agg.items() if k != "runs"}))
+    else:
+        from ggad_tpu.train.config import grid
+        metrics = run_one(grid(cfg)[0])
+        print(json.dumps(metrics))
+    return 0
 
 
 if __name__ == "__main__":

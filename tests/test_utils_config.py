@@ -87,3 +87,35 @@ def test_viz_outputs(tmp_path):
     p3 = draw_pr(labels, scores, str(tmp_path / "fig/pr.png"))
     for p in (p1, p2, p3):
         assert os.path.exists(p) and os.path.getsize(p) > 0
+
+
+def test_cli_config_multirun(tmp_path, capsys):
+    """CLI yaml+grid path end-to-end (tiny synthetic, 2-seed grid)."""
+    import sys
+
+    from ggad_tpu.cli import main
+
+    p = tmp_path / "cfg.yml"
+    p.write_text(
+        "data_name: synthetic\n"
+        "emb_size: 8\n"
+        "batch_size: 16\n"
+        "num_epochs: 2\n"
+        "valid_epochs: 1\n"
+        "seed:\n  - 1\n  - 2\n"
+    )
+    rc = main(["--config", str(p), "--multi_run", "--num_epoch", "2"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "auc_mean" in out
+
+
+def test_cli_ggad_smoke(capsys):
+    from ggad_tpu.cli import main
+
+    rc = main(["--dataset", "synthetic", "--model", "ggad",
+               "--num_epoch", "3", "--embedding_dim", "16",
+               "--eval_every", "3"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert '"auc"' in out
