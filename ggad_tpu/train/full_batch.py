@@ -87,6 +87,8 @@ class FullBatchTrainer:
     scan_steps: int = 1            # steps fused per dispatch (lax.scan)
     checkpoint_dir: Optional[str] = None
     profile_dir: Optional[str] = None  # jax.profiler trace of steps 2..4
+    mesh: Optional[Any] = None     # jax Mesh (or device count) → GSPMD
+                                   # node/edge-partitioned training
 
     def __post_init__(self):
         ds = self.dataset
@@ -100,6 +102,15 @@ class FullBatchTrainer:
 
         graph = from_scipy(ds.adj)
         self.adj, self.raw_adj = normalize_adj_reference(graph)
+        if self.mesh is not None:
+            # multi-device GSPMD: node/edge-partitioned arrays; the BCSR
+            # Pallas kernels are single-device, so force the XLA op path.
+            from ggad_tpu.parallel.mesh import make_mesh
+
+            if not hasattr(self.mesh, "devices"):
+                self.mesh = make_mesh(int(self.mesh),
+                                      axis_names=("nodes",))
+            self.spmm_impl = "xla"
         self.adj = maybe_bcsr(self.adj, self.spmm_impl,
                               dtype=self.spmm_dtype)
         self.raw_adj = maybe_bcsr(self.raw_adj, self.spmm_impl,
@@ -107,6 +118,18 @@ class FullBatchTrainer:
         self.features = jnp.asarray(ds.features, dtype=jnp.float32)
         self.seed_idx = jnp.asarray(ds.abnormal_label_idx, dtype=jnp.int32)
         self.normal_idx = jnp.asarray(ds.normal_label_idx, dtype=jnp.int32)
+        if self.mesh is not None:
+            from ggad_tpu.parallel.full_batch import (
+                replicate,
+                shard_graph,
+                shard_node_array,
+            )
+
+            self.adj = shard_graph(self.adj, self.mesh)
+            self.raw_adj = shard_graph(self.raw_adj, self.mesh)
+            self.features = shard_node_array(self.features, self.mesh)
+            self.seed_idx = replicate(self.seed_idx, self.mesh)
+            self.normal_idx = replicate(self.normal_idx, self.mesh)
 
         self.model = GGAD(n_h=self.embedding_dim,
                           noise_mean=self.noise_mean,
@@ -133,6 +156,10 @@ class FullBatchTrainer:
             self.adj, self.features, self.seed_idx, self.normal_idx,
             train=True)
         opt_state = self.tx.init(params)
+        if self.mesh is not None:
+            from ggad_tpu.parallel.full_batch import replicate
+            params = replicate(params, self.mesh)
+            opt_state = replicate(opt_state, self.mesh)
         return params, opt_state
 
     def _train_step_impl(self, params, opt_state, rng, adj, raw_adj,

@@ -120,3 +120,15 @@ def test_dp_minibatch_step(mesh):
                                   n_anom=16)
     assert np.isfinite(loss8)
     assert loss8 == pytest.approx(loss1, rel=1e-4)
+
+
+def test_fullbatch_trainer_with_mesh(mesh):
+    from ggad_tpu.train.full_batch import FullBatchTrainer
+
+    ds = synthetic_gad(n_nodes=200, avg_degree=8, feat_dim=12, seed=2)
+    kw = dict(num_epoch=4, embedding_dim=16, noise_std=0.0,
+              eval_every=4, log_every=4)
+    r1 = FullBatchTrainer(ds, **kw).train()
+    r8 = FullBatchTrainer(ds, mesh=8, **kw).train()
+    assert np.isfinite(r8.final_auc)
+    assert r8.final_auc == pytest.approx(r1.final_auc, abs=1e-5)
