@@ -46,6 +46,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--scan_steps", type=int, default=1)
     p.add_argument("--spmm_dtype", type=str, default="float32",
                    choices=["float32", "bfloat16"])
+    p.add_argument("--reorder", action="store_true",
+                   help="RCM-reorder nodes for BCSR tile locality")
     return p
 
 
@@ -64,6 +66,9 @@ def main(argv=None) -> int:
 
     ds = load_dataset(args.dataset, data_dir=args.data_dir, seed=args.seed,
                       synthetic_scale=args.synthetic_scale)
+    if args.reorder:
+        from ggad_tpu.datasets.reorder import reorder_rcm
+        ds = reorder_rcm(ds)
     print(f"dataset={ds.name} nodes={ds.n_nodes} edges={ds.n_edges} "
           f"feats={ds.feat_dim} anomalies={int(ds.ano_labels.sum())} "
           f"labeled_normals={len(ds.normal_label_idx)} "
