@@ -402,37 +402,39 @@ def run_minibatch_recon(name, adj, features, labels, idx_train, idx_valid,
     labels = np.asarray(labels)
     rng = jax.random.PRNGKey(seed)
 
+    # graph/features/noise enter the jitted steps as ARGUMENTS (aux):
+    # closure constants would ship with the remote-compile payload.
     if name == "aegis-minibatch":
         model = MiniBatchAEGIS(emb_dim=emb_dim)
         rng, nk = jax.random.split(rng)
-        noise_table = jax.random.normal(nk, feats.shape)
+        aux = jax.random.normal(nk, feats.shape)  # noise table
 
-        def loss_fn(p, batch, key):
-            out = model.apply(p, feats, noise_table, table, batch,
+        def loss_fn(p, batch, key, feats, table, aux):
+            out = model.apply(p, feats, aux, table, batch,
                               rngs={"sample": key})
             ld, lg = aegis_mb_losses(out)
             return ld + lg
 
-        def score_fn(p, batch, key):
-            out = model.apply(p, feats, noise_table, table, batch,
+        def score_fn(p, batch, key, feats, table, aux):
+            out = model.apply(p, feats, aux, table, batch,
                               rngs={"sample": key})
             return out.prob_real
 
         rng, ik, sk = jax.random.split(rng, 3)
         params = model.init({"params": ik, "sample": sk}, feats,
-                            noise_table, table,
-                            jnp.zeros(batch_size, jnp.int32))
+                            aux, table, jnp.zeros(batch_size, jnp.int32))
     else:
         model = MiniBatchRecon(
             emb_dim=emb_dim,
             pos_weighted=(name == "anomalydae-minibatch"))
+        aux = jnp.zeros((1,))
 
-        def loss_fn(p, batch, key):
+        def loss_fn(p, batch, key, feats, table, aux):
             x_rec = model.apply(p, feats, table, batch,
                                 rngs={"sample": key})
             return model.train_loss(x_rec, feats[batch])
 
-        def score_fn(p, batch, key):
+        def score_fn(p, batch, key, feats, table, aux):
             x_rec = model.apply(p, feats, table, batch,
                                 rngs={"sample": key})
             return MiniBatchRecon.scores(x_rec, feats[batch])
@@ -445,16 +447,17 @@ def run_minibatch_recon(name, adj, features, labels, idx_train, idx_valid,
     opt_state = tx.init(params)
 
     @jax.jit
-    def train_step(params, opt_state, batch, key):
-        loss, grads = jax.value_and_grad(loss_fn)(params, batch, key)
+    def train_step(params, opt_state, batch, key, feats, table, aux):
+        loss, grads = jax.value_and_grad(loss_fn)(params, batch, key,
+                                                  feats, table, aux)
         updates, opt_state = tx.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state, loss
 
     eval_batch = 1024
 
     @jax.jit
-    def eval_step(params, batch, key):
-        return score_fn(params, batch, key)
+    def eval_step(params, batch, key, feats, table, aux):
+        return score_fn(params, batch, key, feats, table, aux)
 
     def score_nodes(params, ids):
         out = np.empty(len(ids), np.float32)
@@ -465,7 +468,8 @@ def run_minibatch_recon(name, adj, features, labels, idx_train, idx_valid,
             padded = np.concatenate([chunk, np.zeros(pad, np.int64)])
             key, sub = jax.random.split(key)
             sc = np.asarray(eval_step(params,
-                                      jnp.asarray(padded, jnp.int32), sub))
+                                      jnp.asarray(padded, jnp.int32), sub,
+                                      feats, table, aux))
             out[s:s + eval_batch] = sc[: len(chunk)]
         return out
 
@@ -478,7 +482,8 @@ def run_minibatch_recon(name, adj, features, labels, idx_train, idx_valid,
             ids = host_rng.choice(pool, batch_size, replace=True)
             rng, sub = jax.random.split(rng)
             params, opt_state, loss = train_step(
-                params, opt_state, jnp.asarray(ids, jnp.int32), sub)
+                params, opt_state, jnp.asarray(ids, jnp.int32), sub,
+                feats, table, aux)
         if verbose and epoch % 5 == 0:
             print(f"epoch {epoch}  loss {float(loss):.4f}")
 
@@ -513,58 +518,55 @@ def run_minibatch_classifier(name, adj, features, labels, idx_train,
     labels = np.asarray(labels)
     b_total = batch_size + n_anom
 
+    # graph/features enter the jitted steps as ARGUMENTS (tb): closing
+    # over them would embed them in the compile payload (HTTP 413 on the
+    # remote-compile tunnel at DGraph scale).
     if name == "pcgnn":
         model = PCGNN(emb_dim=emb_dim, n_relations=3)
-        tables = [table] * 3
+        tb = [table] * 3
 
-        def apply_fn(p, batch, key):
-            return model.apply(p, feats, tables, batch,
-                               rngs={"sample": key})
-
-        def loss_fn(p, batch, y, key):
-            out = apply_fn(p, batch, key)
+        def loss_fn(p, batch, y, key, feats, tb):
+            out = model.apply(p, feats, tb, batch, rngs={"sample": key})
             total, _, _ = pcgnn_loss(out, y)
             return total
 
-        def prob_fn(p, batch, key):
-            return pcgnn_prob(apply_fn(p, batch, key))
-
-        init_args = (feats, tables, jnp.zeros(b_total, jnp.int32))
+        def prob_fn(p, batch, key, feats, tb):
+            return pcgnn_prob(
+                model.apply(p, feats, tb, batch, rngs={"sample": key}))
     else:
         model = GraphSAGEClassifier(emb_dim=emb_dim, fanout=5)
+        tb = table
 
-        def apply_fn(p, batch, key):
-            return model.apply(p, feats, table, batch,
-                               rngs={"sample": key})
-
-        def loss_fn(p, batch, y, key):
-            logits = apply_fn(p, batch, key)
+        def loss_fn(p, batch, y, key, feats, tb):
+            logits = model.apply(p, feats, tb, batch,
+                                 rngs={"sample": key})
             logp = jax.nn.log_softmax(logits, axis=-1)
             return -jnp.mean(jnp.take_along_axis(
                 logp, y[:, None], axis=1)[:, 0])
 
-        def prob_fn(p, batch, key):
-            return jax.nn.sigmoid(apply_fn(p, batch, key)[:, 1])
-
-        init_args = (feats, table, jnp.zeros(b_total, jnp.int32))
+        def prob_fn(p, batch, key, feats, tb):
+            return jax.nn.sigmoid(model.apply(
+                p, feats, tb, batch, rngs={"sample": key})[:, 1])
 
     rng = jax.random.PRNGKey(seed)
     rng, ik, sk = jax.random.split(rng, 3)
-    params = model.init({"params": ik, "sample": sk}, *init_args)
+    params = model.init({"params": ik, "sample": sk}, feats, tb,
+                        jnp.zeros(b_total, jnp.int32))
     tx = optax.adamw(lr, weight_decay=weight_decay)
     opt_state = tx.init(params)
 
     @jax.jit
-    def train_step(params, opt_state, batch, y, key):
-        loss, grads = jax.value_and_grad(loss_fn)(params, batch, y, key)
+    def train_step(params, opt_state, batch, y, key, feats, tb):
+        loss, grads = jax.value_and_grad(loss_fn)(params, batch, y, key,
+                                                  feats, tb)
         updates, opt_state = tx.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state, loss
 
     eval_batch = 1024
 
     @jax.jit
-    def eval_step(params, batch, key):
-        return prob_fn(params, batch, key)
+    def eval_step(params, batch, key, feats, tb):
+        return prob_fn(params, batch, key, feats, tb)
 
     def score_nodes(params, ids):
         out = np.empty(len(ids), np.float32)
@@ -575,7 +577,7 @@ def run_minibatch_classifier(name, adj, features, labels, idx_train,
             padded = np.concatenate([chunk, np.zeros(pad, np.int64)])
             key, sub = jax.random.split(key)
             probs = np.asarray(eval_step(
-                params, jnp.asarray(padded, jnp.int32), sub))
+                params, jnp.asarray(padded, jnp.int32), sub, feats, tb))
             out[s:s + eval_batch] = probs[: len(chunk)]
         return out
 
@@ -598,7 +600,7 @@ def run_minibatch_classifier(name, adj, features, labels, idx_train,
             y = jnp.asarray(labels[np.asarray(batch)], jnp.int32)
             rng, sub = jax.random.split(rng)
             params, opt_state, loss = train_step(params, opt_state,
-                                                 batch, y, sub)
+                                                 batch, y, sub, feats, tb)
         if epoch % 5 == 0 or epoch == num_epochs - 1:
             probs = score_nodes(params, np.asarray(idx_valid))
             auc = roc_auc(labels[idx_valid], probs)

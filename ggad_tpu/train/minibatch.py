@@ -96,6 +96,9 @@ class MiniBatchTrainer:
             + [i for i in self.idx_train if self.labels[i] == 1],
             np.int32)
 
+        # feats/table are jit ARGUMENTS — closing over them would embed
+        # hundreds of MB as compile-payload constants (HTTP 413 on the
+        # remote-compile tunnel at DGraph scale).
         self._train_step = jax.jit(self._train_step_impl,
                                    donate_argnums=(0, 1))
         self._eval_step = jax.jit(self._eval_step_impl)
@@ -109,9 +112,10 @@ class MiniBatchTrainer:
                                  self.n_anom_per_batch, True)
         return params, self.tx.init(params)
 
-    def _train_step_impl(self, params, opt_state, batch, rng):
+    def _train_step_impl(self, params, opt_state, batch, rng, feats,
+                         table):
         def loss_fn(p):
-            out = self.model.apply(p, self.feats, self.table, batch,
+            out = self.model.apply(p, feats, table, batch,
                                    self.n_anom_per_batch, True,
                                    rngs={"sample": rng})
             losses = minibatch_ggad_losses(out, self.n_anom_per_batch)
@@ -122,8 +126,8 @@ class MiniBatchTrainer:
         params = optax.apply_updates(params, updates)
         return params, opt_state, losses
 
-    def _eval_step_impl(self, params, batch, rng):
-        out = self.model.apply(params, self.feats, self.table, batch, 0,
+    def _eval_step_impl(self, params, batch, rng, feats, table):
+        out = self.model.apply(params, feats, table, batch, 0,
                                False, rngs={"sample": rng})
         return jax.nn.sigmoid(out.scores)
 
@@ -142,7 +146,8 @@ class MiniBatchTrainer:
             padded = np.concatenate([ids, np.zeros(pad, np.int64)])
             rng, sub = jax.random.split(rng)
             probs = np.asarray(self._eval_step(
-                params, jnp.asarray(padded, jnp.int32), sub))
+                params, jnp.asarray(padded, jnp.int32), sub, self.feats,
+                self.table))
             out[s:s + bs] = probs[: len(ids)]
         return out
 
@@ -190,7 +195,8 @@ class MiniBatchTrainer:
                     np.concatenate([train_ids, anom_ids]), jnp.int32)
                 rng, step_rng = jax.random.split(rng)
                 params, opt_state, losses = self._train_step(
-                    params, opt_state, batch, step_rng)
+                    params, opt_state, batch, step_rng, self.feats,
+                    self.table)
             loss_sums += np.array([float(losses.total), float(losses.cls),
                                    float(losses.constraint),
                                    float(losses.rec)])
