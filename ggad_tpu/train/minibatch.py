@@ -101,7 +101,10 @@ class MiniBatchTrainer:
         # remote-compile tunnel at DGraph scale).
         self._train_step = jax.jit(self._train_step_impl,
                                    donate_argnums=(0, 1))
+        self._train_epoch = jax.jit(self._train_epoch_impl,
+                                    donate_argnums=(0, 1))
         self._eval_step = jax.jit(self._eval_step_impl)
+        self._eval_many = jax.jit(self._eval_many_impl)
 
     # ------------------------------------------------------------------
     def init(self, rng):
@@ -126,30 +129,54 @@ class MiniBatchTrainer:
         params = optax.apply_updates(params, updates)
         return params, opt_state, losses
 
+    def _train_epoch_impl(self, params, opt_state, batches, rng, feats,
+                          table):
+        """All of an epoch's batches in one dispatch (lax.scan): the
+        per-step host round-trip dominates at small batch sizes.
+        ``batches``: [num_batches, B] int32 (host-sampled ids)."""
+        def body(carry, xs):
+            params, opt_state = carry
+            batch, key = xs
+            params, opt_state, losses = self._train_step_impl(
+                params, opt_state, batch, key, feats, table)
+            return (params, opt_state), losses
+
+        keys = jax.random.split(rng, batches.shape[0])
+        (params, opt_state), losses = jax.lax.scan(
+            body, (params, opt_state), (batches, keys))
+        return params, opt_state, jax.tree.map(lambda a: a[-1], losses)
+
     def _eval_step_impl(self, params, batch, rng, feats, table):
         out = self.model.apply(params, feats, table, batch, 0,
                                False, rngs={"sample": rng})
         return jax.nn.sigmoid(out.scores)
 
+    def _eval_many_impl(self, params, batches, rng, feats, table):
+        """Score [C, B] id chunks in one dispatch (lax.map over chunks)."""
+        keys = jax.random.split(rng, batches.shape[0])
+
+        def one(args):
+            batch, key = args
+            return self._eval_step_impl(params, batch, key, feats, table)
+
+        return jax.lax.map(one, (batches, keys))
+
     # ------------------------------------------------------------------
     def score_nodes(self, params, node_ids: np.ndarray,
                     rng=None) -> np.ndarray:
-        """Batched sigmoid scores for arbitrary node ids (padded)."""
+        """Batched sigmoid scores for arbitrary node ids (padded), all
+        chunks scored in a single fused dispatch."""
         if rng is None:
             rng = jax.random.PRNGKey(1234)
         n = len(node_ids)
         bs = self.eval_batch
-        out = np.empty(n, np.float32)
-        for s in range(0, n, bs):
-            ids = node_ids[s:s + bs]
-            pad = bs - len(ids)
-            padded = np.concatenate([ids, np.zeros(pad, np.int64)])
-            rng, sub = jax.random.split(rng)
-            probs = np.asarray(self._eval_step(
-                params, jnp.asarray(padded, jnp.int32), sub, self.feats,
-                self.table))
-            out[s:s + bs] = probs[: len(ids)]
-        return out
+        n_chunks = (n + bs - 1) // bs
+        padded = np.zeros(n_chunks * bs, np.int64)
+        padded[:n] = node_ids
+        probs = np.asarray(self._eval_many(
+            params, jnp.asarray(padded.reshape(n_chunks, bs), jnp.int32),
+            rng, self.feats, self.table))
+        return probs.reshape(-1)[:n]
 
     def metrics_on(self, params, node_ids, labels) -> dict:
         probs = self.score_nodes(params, np.asarray(node_ids))
@@ -184,26 +211,26 @@ class MiniBatchTrainer:
         t0 = time.time()
 
         for epoch in range(self.num_epochs):
-            loss_sums = np.zeros(4)
-            for _ in range(self.num_batches):
-                train_ids = host_rng.choice(
-                    self._train_pool, size=self.batch_size, replace=True)
-                anom_ids = host_rng.choice(
-                    self._anom_pool, size=self.n_anom_per_batch,
-                    replace=len(self._anom_pool) < self.n_anom_per_batch)
-                batch = jnp.asarray(
-                    np.concatenate([train_ids, anom_ids]), jnp.int32)
-                rng, step_rng = jax.random.split(rng)
-                params, opt_state, losses = self._train_step(
-                    params, opt_state, batch, step_rng, self.feats,
-                    self.table)
-            loss_sums += np.array([float(losses.total), float(losses.cls),
-                                   float(losses.constraint),
-                                   float(losses.rec)])
+            # host draws all the epoch's batch ids; the device runs the
+            # whole epoch in one fused scan dispatch
+            train_ids = host_rng.choice(
+                self._train_pool,
+                size=(self.num_batches, self.batch_size), replace=True)
+            anom_ids = host_rng.choice(
+                self._anom_pool,
+                size=(self.num_batches, self.n_anom_per_batch),
+                replace=True)
+            batches = jnp.asarray(
+                np.concatenate([train_ids, anom_ids], axis=1), jnp.int32)
+            rng, step_rng = jax.random.split(rng)
+            params, opt_state, losses = self._train_epoch(
+                params, opt_state, batches, step_rng, self.feats,
+                self.table)
 
-            rec = {"epoch": epoch, "loss": loss_sums[0],
-                   "loss_cls": loss_sums[1], "loss_constraint": loss_sums[2],
-                   "loss_rec": loss_sums[3]}
+            rec = {"epoch": epoch, "loss": float(losses.total),
+                   "loss_cls": float(losses.cls),
+                   "loss_constraint": float(losses.constraint),
+                   "loss_rec": float(losses.rec)}
             if epoch % self.valid_epochs == 0 or epoch == self.num_epochs - 1:
                 val = self.metrics_on(params, self.idx_valid,
                                       self.labels[self.idx_valid])
