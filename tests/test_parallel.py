@@ -132,3 +132,14 @@ def test_fullbatch_trainer_with_mesh(mesh):
     r8 = FullBatchTrainer(ds, mesh=8, **kw).train()
     assert np.isfinite(r8.final_auc)
     assert r8.final_auc == pytest.approx(r1.final_auc, abs=1e-5)
+
+
+def test_entry_compiles_single_device():
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __graft_entry__ as ge
+
+    fn, args = ge.entry()
+    out = jax.jit(fn)(*args)
+    assert np.all(np.isfinite(np.asarray(out)))
