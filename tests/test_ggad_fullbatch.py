@@ -241,3 +241,34 @@ def test_checkpoint_resume(tmp_path):
     res2 = tr2.train()   # restores epoch 5, trains nothing more
     assert res2.final_auc == pytest.approx(res.final_auc, abs=1e-6)
     assert len(res2.history) == 0
+
+
+def test_contamination_split_options():
+    from ggad_tpu.datasets.splits import reference_split
+
+    labels = np.zeros(1000, np.int64)
+    labels[:100] = 1
+    plain = reference_split(labels, seed=0)
+    cont = reference_split(labels, seed=0, contamination_add_rate=0.1)
+    # contaminated labeled-normal set includes real anomalies
+    assert labels[cont.normal_label_idx].sum() > 0
+    assert labels[plain.normal_label_idx].sum() == 0
+    # contaminated anomalies removed from test
+    assert len(cont.idx_test) < len(plain.idx_test)
+
+
+def test_camouflage_features():
+    from ggad_tpu.datasets.splits import camouflage_features
+
+    rng = np.random.default_rng(0)
+    feats = rng.normal(size=(50, 20)).astype(np.float32)
+    labels = np.zeros(50, np.int64)
+    labels[:5] = 1
+    normal_idx = np.arange(10, 30)
+    out = camouflage_features(feats, labels, normal_idx, replace_rate=0.25)
+    k = 5  # 0.25 * 20
+    mean = feats[normal_idx].mean(0)
+    np.testing.assert_allclose(out[:5, :k], np.tile(mean[:k], (5, 1)),
+                               rtol=1e-6)
+    np.testing.assert_allclose(out[5:], feats[5:])
+    np.testing.assert_allclose(out[:5, k:], feats[:5, k:])
