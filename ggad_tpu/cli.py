@@ -35,7 +35,7 @@ def build_parser() -> argparse.ArgumentParser:
                    help="scale factor when falling back to synthetic data")
     p.add_argument("--eval_every", type=int, default=10)
     p.add_argument("--spmm_impl", type=str, default="auto",
-                   choices=["auto", "xla", "pallas"])
+                   choices=["auto", "xla", "pallas", "ell"])
     p.add_argument("--log_jsonl", type=str, default=None,
                    help="write per-epoch metric records to this jsonl file")
     p.add_argument("--checkpoint_dir", type=str, default=None)

@@ -1,0 +1,250 @@
+"""ELL (padded neighbor-table) SpMM — the sparse-regime TPU path.
+
+The BCSR/MXU kernels (``pallas_spmm``) win only when the occupied 128×128
+adjacency tiles are dense; graphs like elliptic (~1.5 edges per occupied
+tile, reference ``README.md:56``) fall back to XLA gather + ``segment_sum``
+whose scatter-add dominates. This path removes the scatter entirely:
+
+    pad each row's neighbor list to K slots → idx/val tables [N, K]
+    out[n] = Σ_k val[n, k] · x[idx[n, k]]
+
+computed as K fused gather-multiply-accumulate sweeps (no [N, K, d]
+intermediate, no scatter — each output row is accumulated locally). Rows
+longer than K spill their tail edges to an overflow COO handled by the
+ordinary segment path (power-law hubs would otherwise blow up K for
+everyone). K is chosen per graph to cover ≥ ``coverage`` of edges.
+
+The same tables evaluate the affinity-loss numerator (the column sums of
+A ∘ (N Nᵀ), reference ``run.py:182-188``) scatter-free via the transposed
+table. Both ops are differentiable in the dense operand with custom VJPs
+that reuse the transposed tables (the adjacency itself is not trained).
+
+Reference equivalence: ``ell_spmm`` computes exactly
+``torch.bmm(adj, seq_fts)`` (reference ``model.py:29-31``);
+``ell_affinity_colsum`` computes ``(sim * raw_adj).sum(0)``
+(reference ``run.py:182-186``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ggad_tpu.graph import Graph, from_coo
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class ELL:
+    """Padded neighbor table (+ COO overflow) for one matrix orientation."""
+
+    idx: jax.Array      # [N, K] int32 neighbor ids (0 on padding slots)
+    val: jax.Array      # [N, K] float32 edge weights (0 on padding)
+    ov_row: jax.Array   # [E_ov_pad] int32 overflow edges (sorted by row)
+    ov_col: jax.Array   # [E_ov_pad] int32
+    ov_val: jax.Array   # [E_ov_pad] float32 (0 on padding)
+    n_rows: int = dataclasses.field(metadata=dict(static=True))
+
+    @property
+    def k(self) -> int:
+        return self.idx.shape[1]
+
+    @property
+    def n_overflow(self) -> int:
+        return self.ov_row.shape[0]
+
+
+def _pick_k(degrees: np.ndarray, coverage: float, k_max: int) -> int:
+    """Smallest multiple of 8 covering ≥ coverage of edges, capped."""
+    if degrees.size == 0 or degrees.max() == 0:
+        return 8
+    total = degrees.sum()
+    for k in range(8, k_max + 1, 8):
+        if np.minimum(degrees, k).sum() >= coverage * total:
+            return k
+    return k_max
+
+
+def ell_from_coo(row: np.ndarray, col: np.ndarray, val: np.ndarray,
+                 n_rows: int, *, k: int | None = None,
+                 coverage: float = 0.98, k_max: int = 64) -> ELL:
+    """Host-side ELL construction from (unsorted) COO arrays."""
+    row = np.asarray(row, dtype=np.int64)
+    col = np.asarray(col, dtype=np.int64)
+    val = np.asarray(val, dtype=np.float32)
+    order = np.lexsort((col, row))
+    row, col, val = row[order], col[order], val[order]
+
+    degrees = np.bincount(row, minlength=n_rows)
+    if k is None:
+        k = _pick_k(degrees, coverage, k_max)
+
+    # slot index of each edge within its row
+    starts = np.zeros(n_rows + 1, dtype=np.int64)
+    starts[1:] = np.cumsum(degrees)
+    slot = np.arange(row.shape[0]) - starts[row]
+
+    in_ell = slot < k
+    idx = np.zeros((n_rows, k), dtype=np.int32)
+    ell_val = np.zeros((n_rows, k), dtype=np.float32)
+    idx[row[in_ell], slot[in_ell]] = col[in_ell]
+    ell_val[row[in_ell], slot[in_ell]] = val[in_ell]
+
+    ov = ~in_ell
+    n_ov = int(ov.sum())
+    e_ov_pad = max(_round_up(n_ov, 512), 512) if n_ov else 0
+    ov_row = np.zeros(e_ov_pad, dtype=np.int32)
+    ov_col = np.zeros(e_ov_pad, dtype=np.int32)
+    ov_val = np.zeros(e_ov_pad, dtype=np.float32)
+    ov_row[:n_ov] = row[ov]
+    ov_col[:n_ov] = col[ov]
+    ov_val[:n_ov] = val[ov]
+
+    return ELL(idx=jnp.asarray(idx), val=jnp.asarray(ell_val),
+               ov_row=jnp.asarray(ov_row), ov_col=jnp.asarray(ov_col),
+               ov_val=jnp.asarray(ov_val), n_rows=int(n_rows))
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class ELLPair:
+    """Forward + transposed tables for differentiable SpMM/affinity."""
+
+    fwd: ELL
+    bwd: ELL
+    n_nodes: int = dataclasses.field(metadata=dict(static=True))
+
+
+def ell_pair_from_graph(g: Graph, **kw) -> ELLPair:
+    row = np.asarray(g.row)[: g.n_edges]
+    col = np.asarray(g.col)[: g.n_edges]
+    val = np.asarray(g.val)[: g.n_edges]
+    return ELLPair(fwd=ell_from_coo(row, col, val, g.n_nodes, **kw),
+                   bwd=ell_from_coo(col, row, val, g.n_nodes, **kw),
+                   n_nodes=g.n_nodes)
+
+
+def _ell_matmul(m: ELL, x: jax.Array) -> jax.Array:
+    """out = M @ x via K gather-accumulate sweeps + overflow segment-sum."""
+    out = jnp.zeros((m.n_rows, x.shape[1]), jnp.float32)
+    for s in range(m.k):
+        out = out + x[m.idx[:, s]] * m.val[:, s, None]
+    if m.n_overflow:
+        gathered = x[m.ov_col] * m.ov_val[:, None]
+        out = out + jax.ops.segment_sum(
+            gathered, m.ov_row, num_segments=m.n_rows,
+            indices_are_sorted=True)
+    return out
+
+
+@jax.custom_vjp
+def ell_spmm(pair: ELLPair, x: jax.Array) -> jax.Array:
+    """out = A @ x; differentiable in x (Aᵀ g via the transposed table)."""
+    return _ell_matmul(pair.fwd, x)
+
+
+def _ell_spmm_fwd(pair, x):
+    return _ell_matmul(pair.fwd, x), pair
+
+
+def _ell_spmm_bwd(pair, g):
+    return None, _ell_matmul(pair.bwd, g)
+
+
+ell_spmm.defvjp(_ell_spmm_fwd, _ell_spmm_bwd)
+
+
+def _ell_colsum_raw(m_t: ELL, emb_n: jax.Array) -> jax.Array:
+    """num[j] = Σ_i A_ij ⟨n_i, n_j⟩ using the TRANSPOSED table m_t
+    (rows of Aᵀ are columns of A) — K scatter-free sweeps."""
+    num = jnp.zeros((m_t.n_rows,), jnp.float32)
+    for s in range(m_t.k):
+        num = num + m_t.val[:, s] * jnp.einsum(
+            "nd,nd->n", emb_n[m_t.idx[:, s]], emb_n,
+            preferred_element_type=jnp.float32)
+    if m_t.n_overflow:
+        # overflow edges of Aᵀ: (row=j, col=i) pairs
+        cos = jnp.einsum("ed,ed->e", emb_n[m_t.ov_col], emb_n[m_t.ov_row],
+                         preferred_element_type=jnp.float32) * m_t.ov_val
+        num = num + jax.ops.segment_sum(
+            cos, m_t.ov_row, num_segments=m_t.n_rows,
+            indices_are_sorted=True)
+    return num
+
+
+@jax.custom_vjp
+def ell_affinity_colsum(pair: ELLPair, emb_n: jax.Array) -> jax.Array:
+    """Column sums of A ∘ (N Nᵀ) for row-normalized embeddings N; [N].
+
+    Differentiable in ``emb_n``: dN = A (g ⊙ N) + g ⊙ (Aᵀ N), two table
+    sweeps (same identity as ``pallas_sddmm``).
+    """
+    return _ell_colsum_raw(pair.bwd, emb_n)
+
+
+def _ell_colsum_fwd(pair, emb_n):
+    return _ell_colsum_raw(pair.bwd, emb_n), (pair, emb_n)
+
+
+def _ell_colsum_bwd(res, g):
+    pair, emb_n = res
+    term1 = _ell_matmul(pair.fwd, g[:, None] * emb_n)
+    term2 = g[:, None] * _ell_matmul(pair.bwd, emb_n)
+    return None, term1 + term2
+
+
+ell_affinity_colsum.defvjp(_ell_colsum_fwd, _ell_colsum_bwd)
+
+
+# --------------------------------------------------------------------------
+# Graph-level wrapper (drop-in for ops.spmm / ops.sddmm dispatch)
+# --------------------------------------------------------------------------
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class ELLGraph:
+    """A Graph plus its ELL tables; drop-in for ops.spmm dispatch."""
+
+    graph: "object"          # ggad_tpu.graph.Graph (itself a pytree)
+    tables: ELLPair
+
+    @property
+    def row(self):
+        return self.graph.row
+
+    @property
+    def col(self):
+        return self.graph.col
+
+    @property
+    def val(self):
+        return self.graph.val
+
+    @property
+    def indptr(self):
+        return self.graph.indptr
+
+    @property
+    def n_nodes(self):
+        return self.graph.n_nodes
+
+    @property
+    def n_edges(self):
+        return self.graph.n_edges
+
+    def out_degrees(self):
+        return self.graph.out_degrees()
+
+    def in_degrees(self):
+        return self.graph.in_degrees()
+
+
+def as_ell_graph(g: Graph, **kw) -> ELLGraph:
+    return ELLGraph(graph=g, tables=ell_pair_from_graph(g, **kw))

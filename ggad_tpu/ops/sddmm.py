@@ -59,6 +59,7 @@ def node_affinity(g: Graph, emb: jax.Array) -> jax.Array:
     (``ggad_tpu.ops.pallas_sddmm``) — same math, ~10× less HBM traffic
     than the edge-parallel gather/scatter path.
     """
+    from ggad_tpu.ops.ell_spmm import ELLGraph
     from ggad_tpu.ops.pallas_spmm import BCSRGraph
 
     den = jax.ops.segment_sum(g.val, g.col, num_segments=g.n_nodes)
@@ -66,6 +67,9 @@ def node_affinity(g: Graph, emb: jax.Array) -> jax.Array:
     if isinstance(g, BCSRGraph):
         from ggad_tpu.ops.pallas_sddmm import bcsr_sddmm_colsum
         num = bcsr_sddmm_colsum(g.tiles, l2_normalize_rows(emb))
+    elif isinstance(g, ELLGraph):
+        from ggad_tpu.ops.ell_spmm import ell_affinity_colsum
+        num = ell_affinity_colsum(g.tables, l2_normalize_rows(emb))
     else:
         cos = edge_cosine(g, emb)
         num = jax.ops.segment_sum(cos, g.col, num_segments=g.n_nodes)

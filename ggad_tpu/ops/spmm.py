@@ -41,10 +41,13 @@ def spmm(g, x: jax.Array, *, impl: str = "auto") -> jax.Array:
       x: [N, d] dense feature/embedding matrix.
       impl: "auto" (dispatch on type), "xla", or "pallas".
     """
+    from ggad_tpu.ops.ell_spmm import ELLGraph, ell_spmm
     from ggad_tpu.ops.pallas_spmm import BCSRGraph, bcsr_spmm
 
     if isinstance(g, BCSRGraph) and impl != "xla":
         return bcsr_spmm(g.tiles, x)
+    if isinstance(g, ELLGraph) and impl != "xla":
+        return ell_spmm(g.tables, x)
     if impl == "pallas":
         from ggad_tpu.ops.pallas_spmm import bcsr_spmm_graph
         return bcsr_spmm_graph(g, x)  # raises with guidance

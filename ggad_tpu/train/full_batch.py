@@ -33,10 +33,15 @@ def maybe_bcsr(adj: Graph, impl: str, *, min_edges_per_tile: float = 8.0,
     Heuristic: BCSR wins when the occupied 128×128 tiles are dense enough
     (≥ ``min_edges_per_tile`` edges per occupied tile) and the tile store
     fits the budget; very sparse graphs (e.g. elliptic: ~1.5 edges/tile)
-    stay on the XLA gather/segment path.
+    take the ELL padded-table path (``ops/ell_spmm``) instead — still
+    scatter-free, no tile blow-up. ``impl='ell'`` forces ELL;
+    ``impl='xla'`` forces the gather/segment path.
     """
     if impl == "xla":
         return adj
+    if impl == "ell":
+        from ggad_tpu.ops.ell_spmm import as_ell_graph
+        return as_ell_graph(adj)
     if impl not in ("auto", "pallas"):
         return adj
     if impl == "auto" and jax.default_backend() != "tpu":
@@ -52,7 +57,8 @@ def maybe_bcsr(adj: Graph, impl: str, *, min_edges_per_tile: float = 8.0,
         mem //= 2
     if impl == "auto" and (adj.n_edges / max(tiles, 1) < min_edges_per_tile
                            or mem > mem_budget_bytes):
-        return adj
+        from ggad_tpu.ops.ell_spmm import as_ell_graph
+        return as_ell_graph(adj)
     return as_bcsr_graph(adj, dtype=dtype)
 
 
