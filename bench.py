@@ -31,27 +31,44 @@ def build_dataset():
         n_communities=8, anomaly_rate=0.09, seed=0, seed_frac=0.15)
 
 
-def bench_tpu_step(ds, n_warmup=3, n_iter=20):
+def bench_tpu_step(ds, n_warmup=3, n_iter=20, *, spmm_dtype="float32",
+                   scan_steps=1):
+    """Steady-state seconds per full training step.
+
+    ``scan_steps > 1`` measures the scan-fused dispatch the real trainer
+    uses (``FullBatchTrainer(scan_steps=...)``, trajectory-identical),
+    amortizing the ~5 ms host→TPU tunnel overhead per dispatch.
+    ``spmm_dtype='bfloat16'`` is the quality-cleared fast mode
+    (docs/BF16_STUDY.md: ΔAUROC within ±0.004 of f32 at full budgets).
+    """
     import jax
     from ggad_tpu.train.full_batch import FullBatchTrainer
 
     tr = FullBatchTrainer(ds, num_epoch=1, noise_mean=0.02, noise_std=0.01,
-                          embedding_dim=300)
+                          embedding_dim=300, spmm_dtype=spmm_dtype)
     rng = jax.random.PRNGKey(0)
     rng, init_rng = jax.random.split(rng)
     params, opt_state = tr.init(init_rng)
 
     def run(n):
         nonlocal params, opt_state, rng
-        for _ in range(n):
-            rng, step_rng = jax.random.split(rng)
-            params, opt_state, losses = tr._train_step(
-                params, opt_state, step_rng, tr.adj, tr.raw_adj,
-                tr.features, tr.seed_idx, tr.normal_idx)
+        if scan_steps > 1:
+            assert n % scan_steps == 0
+            for _ in range(n // scan_steps):
+                rng, step_rng = jax.random.split(rng)
+                params, opt_state, losses = tr._train_scan(
+                    params, opt_state, step_rng, tr.adj, tr.raw_adj,
+                    tr.features, tr.seed_idx, tr.normal_idx, scan_steps)
+        else:
+            for _ in range(n):
+                rng, step_rng = jax.random.split(rng)
+                params, opt_state, losses = tr._train_step(
+                    params, opt_state, step_rng, tr.adj, tr.raw_adj,
+                    tr.features, tr.seed_idx, tr.normal_idx)
         jax.block_until_ready(losses.total)
         return losses
 
-    run(n_warmup)
+    run(n_warmup * scan_steps if scan_steps > 1 else n_warmup)
     t0 = time.perf_counter()
     losses = run(n_iter)
     dt = (time.perf_counter() - t0) / n_iter
@@ -117,7 +134,12 @@ def main():
     ds = build_dataset()
     edges = ds.n_edges
 
-    tpu_dt = bench_tpu_step(ds)
+    # headline: the trainer's production configuration — scan-fused
+    # dispatch (trajectory-identical) + bf16 tiles (quality-cleared,
+    # docs/BF16_STUDY.md); f32 unfused kept in detail for comparison.
+    tpu_dt = bench_tpu_step(ds, n_iter=40, spmm_dtype="bfloat16",
+                            scan_steps=20)
+    tpu_dt_f32 = bench_tpu_step(ds)
     ref_dt = bench_reference_style_step(ds)
 
     edges_per_s = edges / tpu_dt
@@ -129,6 +151,7 @@ def main():
         "detail": {
             "graph": f"{ds.n_nodes}N/{edges}E/745F (photo-shaped)",
             "step_ms": round(tpu_dt * 1e3, 3),
+            "step_ms_f32_unfused": round(tpu_dt_f32 * 1e3, 3),
             "reference_style_cpu_step_ms": round(ref_dt * 1e3, 3),
             "backend": __import__("jax").default_backend(),
         },
