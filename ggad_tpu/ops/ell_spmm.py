@@ -33,7 +33,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ggad_tpu.graph import Graph, from_coo
+from ggad_tpu.graph import Graph
 
 
 def _round_up(x: int, m: int) -> int:
@@ -74,8 +74,14 @@ def _pick_k(degrees: np.ndarray, coverage: float, k_max: int) -> int:
 
 def ell_from_coo(row: np.ndarray, col: np.ndarray, val: np.ndarray,
                  n_rows: int, *, k: int | None = None,
-                 coverage: float = 0.98, k_max: int = 64) -> ELL:
-    """Host-side ELL construction from (unsorted) COO arrays."""
+                 coverage: float = 0.98, k_max: int = 64,
+                 dtype="float32") -> ELL:
+    """Host-side ELL construction from (unsorted) COO arrays.
+
+    ``dtype`` sets the storage/multiply precision of the padded tables
+    (bf16 tables halve HBM traffic; accumulation stays f32 — same policy
+    as the BCSR kernels' ``spmm_dtype``). Overflow edges stay f32 (tiny).
+    """
     row = np.asarray(row, dtype=np.int64)
     col = np.asarray(col, dtype=np.int64)
     val = np.asarray(val, dtype=np.float32)
@@ -106,8 +112,13 @@ def ell_from_coo(row: np.ndarray, col: np.ndarray, val: np.ndarray,
     ov_row[:n_ov] = row[ov]
     ov_col[:n_ov] = col[ov]
     ov_val[:n_ov] = val[ov]
+    if n_ov:
+        # pad with the LAST real row id (vals are 0) so segment_sum's
+        # indices_are_sorted promise actually holds
+        ov_row[n_ov:] = ov_row[n_ov - 1]
 
-    return ELL(idx=jnp.asarray(idx), val=jnp.asarray(ell_val),
+    return ELL(idx=jnp.asarray(idx),
+               val=jnp.asarray(ell_val).astype(jnp.dtype(dtype)),
                ov_row=jnp.asarray(ov_row), ov_col=jnp.asarray(ov_col),
                ov_val=jnp.asarray(ov_val), n_rows=int(n_rows))
 
@@ -132,10 +143,15 @@ def ell_pair_from_graph(g: Graph, **kw) -> ELLPair:
 
 
 def _ell_matmul(m: ELL, x: jax.Array) -> jax.Array:
-    """out = M @ x via K gather-accumulate sweeps + overflow segment-sum."""
+    """out = M @ x via K gather-accumulate sweeps + overflow segment-sum.
+
+    Multiplies in the table dtype (bf16 when built with
+    ``dtype='bfloat16'``), accumulates in f32.
+    """
+    xc = x.astype(m.val.dtype)
     out = jnp.zeros((m.n_rows, x.shape[1]), jnp.float32)
     for s in range(m.k):
-        out = out + x[m.idx[:, s]] * m.val[:, s, None]
+        out = out + (xc[m.idx[:, s]] * m.val[:, s, None]).astype(jnp.float32)
     if m.n_overflow:
         gathered = x[m.ov_col] * m.ov_val[:, None]
         out = out + jax.ops.segment_sum(
@@ -164,10 +180,11 @@ ell_spmm.defvjp(_ell_spmm_fwd, _ell_spmm_bwd)
 def _ell_colsum_raw(m_t: ELL, emb_n: jax.Array) -> jax.Array:
     """num[j] = Σ_i A_ij ⟨n_i, n_j⟩ using the TRANSPOSED table m_t
     (rows of Aᵀ are columns of A) — K scatter-free sweeps."""
+    ec = emb_n.astype(m_t.val.dtype)
     num = jnp.zeros((m_t.n_rows,), jnp.float32)
     for s in range(m_t.k):
-        num = num + m_t.val[:, s] * jnp.einsum(
-            "nd,nd->n", emb_n[m_t.idx[:, s]], emb_n,
+        num = num + m_t.val[:, s].astype(jnp.float32) * jnp.einsum(
+            "nd,nd->n", ec[m_t.idx[:, s]], ec,
             preferred_element_type=jnp.float32)
     if m_t.n_overflow:
         # overflow edges of Aᵀ: (row=j, col=i) pairs

@@ -334,7 +334,8 @@ def run_baseline(name: str, ds: GADDataset, args) -> dict:
                                num_epoch=args.num_epoch or 500,
                                lr=args.lr or 1e-5, seed=args.seed,
                                verbose=True)
-    elif name in ("sage", "ggad-minibatch", "pcgnn"):
+    elif name in ("sage", "ggad-minibatch", "pcgnn", "dominant-minibatch",
+                  "anomalydae-minibatch", "aegis-minibatch"):
         return run_minibatch_model(name, ds, args)
     else:
         raise ValueError(name)

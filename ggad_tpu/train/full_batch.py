@@ -41,7 +41,7 @@ def maybe_bcsr(adj: Graph, impl: str, *, min_edges_per_tile: float = 8.0,
         return adj
     if impl == "ell":
         from ggad_tpu.ops.ell_spmm import as_ell_graph
-        return as_ell_graph(adj)
+        return as_ell_graph(adj, dtype=dtype)
     if impl not in ("auto", "pallas"):
         return adj
     if impl == "auto" and jax.default_backend() != "tpu":
@@ -58,7 +58,7 @@ def maybe_bcsr(adj: Graph, impl: str, *, min_edges_per_tile: float = 8.0,
     if impl == "auto" and (adj.n_edges / max(tiles, 1) < min_edges_per_tile
                            or mem > mem_budget_bytes):
         from ggad_tpu.ops.ell_spmm import as_ell_graph
-        return as_ell_graph(adj)
+        return as_ell_graph(adj, dtype=dtype)
     return as_bcsr_graph(adj, dtype=dtype)
 
 

@@ -1,0 +1,43 @@
+"""CLI dispatch coverage: every advertised --model choice must train.
+
+Round-1 verdict found `--model dominant-minibatch` (and the other two
+minibatch recon baselines) unreachable from `run_baseline` — the handler
+existed but the router never dispatched to it. This test runs
+``cli.main`` end-to-end for every model choice on the small synthetic
+dataset so routing bugs can't hide behind direct-call unit tests.
+"""
+
+import json
+
+import pytest
+
+from ggad_tpu.cli import build_parser, main
+
+ALL_MODELS = [a for a in build_parser()._actions
+              if a.dest == "model"][0].choices
+
+
+def test_model_choices_complete():
+    assert set(ALL_MODELS) == {
+        "ggad", "ggad-minibatch", "dominant", "anomalydae", "ocgnn",
+        "aegis", "gaan", "tam", "sage", "pcgnn", "dominant-minibatch",
+        "anomalydae-minibatch", "aegis-minibatch"}
+
+
+@pytest.mark.parametrize("model", sorted(ALL_MODELS))
+def test_cli_trains_one_epoch(model, capsys, tmp_path):
+    rc = main([
+        "--dataset", "synthetic",
+        "--model", model,
+        "--num_epoch", "1",
+        "--eval_every", "1",
+        "--embedding_dim", "16",
+        "--seed", "0",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    rec = json.loads(out[-1])
+    # every driver must report a finite quality number
+    score = next(rec[k] for k in ("auc", "test_auc", "best_val_auc")
+                 if k in rec)
+    assert 0.0 <= float(score) <= 1.0
