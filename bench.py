@@ -3,25 +3,43 @@
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
-Workload: a photo-shaped synthetic graph (7,535 nodes / ~119K edges /
+Workload: a photo-shaped synthetic graph (7,535 nodes / ~456K edges /
 745 attrs — reference ``README.md:57``), embedding dim 300, the full
 3-term GGAD objective (forward + backward + Adam), exactly the per-epoch
 work of the reference's ``run.py`` loop.
 
 Metric: edge-updates/s = graph edges × training steps/s on this chip.
 
+Robustness (round-2 redesign): this environment reaches the TPU through
+a remote tunnel whose per-dispatch latency can degrade by 10-100 ms
+without warning, which in round 1 inflated a single-window wall-clock
+measurement ~15x. Defenses:
+  * the headline step time is a PAIRED-DIFFERENCE estimate —
+    (T(scan of 2K steps) - T(scan of K steps)) / K — which cancels the
+    per-dispatch tunnel/host overhead exactly (both dispatches pay it
+    once); the scan body is trajectory-identical to the trainer's;
+  * the estimate is the MEDIAN over ``n_windows`` independent windows,
+    with the full per-window list + IQR reported in ``detail``;
+  * per-dispatch overhead is measured separately (median over windows)
+    and reported as ``dispatch_overhead_ms``; if it exceeds
+    ``TUNNEL_DEGRADED_MS`` the JSON carries ``"tunnel_degraded": true``
+    so a bad capture is self-identifying.
+
 Baseline: the reference implementation's algorithmic shape — dense N×N
 adjacency matmuls (2 GCN layers + N×N affinity similarity) in float32 on
-CPU via numpy/torch — measured here on the same graph, same step
-semantics. ``vs_baseline`` is the speedup factor (ours / reference-style).
+CPU via torch — measured here on the same graph, same step semantics.
+``vs_baseline`` is the speedup factor (ours / reference-style).
 """
 
 import json
 import os
+import statistics
 import sys
 import time
 
 import numpy as np
+
+TUNNEL_DEGRADED_MS = 50.0  # healthy tunnel dispatch is ~5 ms
 
 
 def build_dataset():
@@ -31,13 +49,13 @@ def build_dataset():
         n_communities=8, anomaly_rate=0.09, seed=0, seed_frac=0.15)
 
 
-def bench_tpu_step(ds, n_warmup=3, n_iter=20, *, spmm_dtype="float32",
-                   scan_steps=1):
-    """Steady-state seconds per full training step.
+def bench_tpu_step(ds, *, spmm_dtype="float32", scan_steps=20, n_windows=5):
+    """Per-step seconds: median paired-difference estimate over windows.
 
-    ``scan_steps > 1`` measures the scan-fused dispatch the real trainer
-    uses (``FullBatchTrainer(scan_steps=...)``, trajectory-identical),
-    amortizing the ~5 ms host→TPU tunnel overhead per dispatch.
+    Returns (step_s_median, detail_dict). Each window times one
+    ``scan_steps``-step fused dispatch and one ``2*scan_steps``-step
+    dispatch; their difference is ``scan_steps`` steps of pure device
+    time with the dispatch overhead subtracted out.
     ``spmm_dtype='bfloat16'`` is the quality-cleared fast mode
     (docs/BF16_STUDY.md: ΔAUROC within ±0.004 of f32 at full budgets).
     """
@@ -50,30 +68,44 @@ def bench_tpu_step(ds, n_warmup=3, n_iter=20, *, spmm_dtype="float32",
     rng, init_rng = jax.random.split(rng)
     params, opt_state = tr.init(init_rng)
 
-    def run(n):
-        nonlocal params, opt_state, rng
-        if scan_steps > 1:
-            assert n % scan_steps == 0
-            for _ in range(n // scan_steps):
-                rng, step_rng = jax.random.split(rng)
-                params, opt_state, losses = tr._train_scan(
-                    params, opt_state, step_rng, tr.adj, tr.raw_adj,
-                    tr.features, tr.seed_idx, tr.normal_idx, scan_steps)
-        else:
-            for _ in range(n):
-                rng, step_rng = jax.random.split(rng)
-                params, opt_state, losses = tr._train_step(
-                    params, opt_state, step_rng, tr.adj, tr.raw_adj,
-                    tr.features, tr.seed_idx, tr.normal_idx)
+    def dispatch(params, opt_state, rng, n_steps):
+        rng, step_rng = jax.random.split(rng)
+        t0 = time.perf_counter()
+        params, opt_state, losses = tr._train_scan(
+            params, opt_state, step_rng, tr.adj, tr.raw_adj,
+            tr.features, tr.seed_idx, tr.normal_idx, n_steps)
         jax.block_until_ready(losses.total)
-        return losses
+        return params, opt_state, rng, time.perf_counter() - t0, losses
 
-    run(n_warmup * scan_steps if scan_steps > 1 else n_warmup)
-    t0 = time.perf_counter()
-    losses = run(n_iter)
-    dt = (time.perf_counter() - t0) / n_iter
+    # warmup: compile both scan lengths
+    params, opt_state, rng, _, _ = dispatch(params, opt_state, rng,
+                                            scan_steps)
+    params, opt_state, rng, _, losses = dispatch(params, opt_state, rng,
+                                                 2 * scan_steps)
     assert np.isfinite(float(losses.total))
-    return dt
+
+    step_est, overhead_est = [], []
+    for _ in range(n_windows):
+        params, opt_state, rng, t1, _ = dispatch(params, opt_state, rng,
+                                                 scan_steps)
+        params, opt_state, rng, t2, _ = dispatch(params, opt_state, rng,
+                                                 2 * scan_steps)
+        est = (t2 - t1) / scan_steps
+        step_est.append(max(est, 1e-9))
+        overhead_est.append(max(t1 - est * scan_steps, 0.0))
+
+    med = statistics.median(step_est)
+    srt = sorted(step_est)
+    q1, q3 = srt[len(srt) // 4], srt[(3 * len(srt)) // 4]
+    detail = {
+        "step_ms_windows": [round(s * 1e3, 3) for s in step_est],
+        "step_ms_iqr": round((q3 - q1) * 1e3, 3),
+        "dispatch_overhead_ms": round(
+            statistics.median(overhead_est) * 1e3, 3),
+    }
+    detail["tunnel_degraded"] = (
+        detail["dispatch_overhead_ms"] > TUNNEL_DEGRADED_MS)
+    return med, detail
 
 
 def bench_reference_style_step(ds, n_iter=2):
@@ -136,25 +168,30 @@ def main():
 
     # headline: the trainer's production configuration — scan-fused
     # dispatch (trajectory-identical) + bf16 tiles (quality-cleared,
-    # docs/BF16_STUDY.md); f32 unfused kept in detail for comparison.
-    tpu_dt = bench_tpu_step(ds, n_iter=40, spmm_dtype="bfloat16",
-                            scan_steps=20)
-    tpu_dt_f32 = bench_tpu_step(ds)
+    # docs/BF16_STUDY.md); f32 kept in detail for comparison.
+    tpu_dt, tpu_detail = bench_tpu_step(ds, spmm_dtype="bfloat16",
+                                        scan_steps=20, n_windows=5)
+    tpu_dt_f32, f32_detail = bench_tpu_step(ds, spmm_dtype="float32",
+                                            scan_steps=10, n_windows=3)
     ref_dt = bench_reference_style_step(ds)
 
     edges_per_s = edges / tpu_dt
+    detail = {
+        "config": "bf16+scan20, paired-diff median of 5 windows",
+        "graph": f"{ds.n_nodes}N/{edges}E/745F (photo-shaped)",
+        "step_ms": round(tpu_dt * 1e3, 3),
+        "step_ms_f32": round(tpu_dt_f32 * 1e3, 3),
+        "reference_style_cpu_step_ms": round(ref_dt * 1e3, 3),
+        "backend": __import__("jax").default_backend(),
+    }
+    detail.update(tpu_detail)
+    detail["f32_step_ms_windows"] = f32_detail["step_ms_windows"]
     result = {
         "metric": "ggad_fullbatch_train_edge_updates_per_s",
         "value": round(edges_per_s, 1),
         "unit": "edges/s/chip",
         "vs_baseline": round(ref_dt / tpu_dt, 3),
-        "detail": {
-            "graph": f"{ds.n_nodes}N/{edges}E/745F (photo-shaped)",
-            "step_ms": round(tpu_dt * 1e3, 3),
-            "step_ms_f32_unfused": round(tpu_dt_f32 * 1e3, 3),
-            "reference_style_cpu_step_ms": round(ref_dt * 1e3, 3),
-            "backend": __import__("jax").default_backend(),
-        },
+        "detail": detail,
     }
     print(json.dumps(result))
 

@@ -48,6 +48,9 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["float32", "bfloat16"])
     p.add_argument("--reorder", action="store_true",
                    help="RCM-reorder nodes for BCSR tile locality")
+    p.add_argument("--aegis_faithful", action="store_true",
+                   help="reproduce the reference AEGIS driver's effective "
+                        "behavior, bugs included (model_AEGIS.py:240)")
     return p
 
 

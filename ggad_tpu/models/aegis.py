@@ -13,8 +13,11 @@ Training phases (reference ``aegis.py:118-140``): ``recon_num_epoch``
 epochs of AE pretraining, then an adversarial phase. NB the reference's
 forward returns ``loss_ae`` in the slot its driver unpacks as
 ``loss_dis`` (``model_AEGIS.py:240``), so its discriminator loss never
-drives a gradient; we implement the intended adversarial objective and
-keep a ``faithful`` flag reproducing the reference's effective behavior.
+drives a gradient. The model exposes all three losses; the driver
+(``ggad_tpu.train.baselines.run_aegis``) implements the intended
+adversarial objective by default and a ``faithful=True`` mode
+reproducing the reference's effective behavior (loss_ae-in-dis-slot,
+missing pretrain zero_grad, double generator step) exactly.
 """
 
 from __future__ import annotations
@@ -57,7 +60,8 @@ class AEGIS(nn.Module):
     hid_dim: int = 64
 
     @nn.compact
-    def __call__(self, adj: Graph, x: jax.Array) -> AEGISOutput:
+    def __call__(self, adj: Graph, x: jax.Array,
+                 noise: jax.Array | None = None) -> AEGISOutput:
         n_in = x.shape[-1]
         enc1 = GCNLayer(self.n_h, act="prelu", name="gcn_enc1")
         enc2 = GCNLayer(self.n_h, act="prelu", name="gcn_enc2")
@@ -66,8 +70,9 @@ class AEGIS(nn.Module):
         generator = MLP(self.hid_dim, n_in, act="relu", name="generator")
         disc2 = MLP(self.hid_dim, 1, act="sigmoid", name="discriminator2")
 
-        noise = jax.random.normal(self.make_rng("noise"),
-                                  (x.shape[0], self.noise_dim))
+        if noise is None:
+            noise = jax.random.normal(self.make_rng("noise"),
+                                      (x.shape[0], self.noise_dim))
         x_gen = generator(noise)
         z_gen = enc2(adj, enc1(adj, x_gen))
         z = enc2(adj, enc1(adj, x))

@@ -41,13 +41,15 @@ class GAAN(nn.Module):
     hid_dim: int = 64
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> GAANOutput:
+    def __call__(self, x: jax.Array,
+                 noise: jax.Array | None = None) -> GAANOutput:
         n_in = x.shape[-1]
         generator = MLP(self.hid_dim, n_in, act="relu", name="generator")
         encoder = MLP(self.hid_dim, self.hid_dim, act="relu",
                       name="discriminator")
-        noise = jax.random.normal(self.make_rng("noise"),
-                                  (x.shape[0], self.noise_dim))
+        if noise is None:
+            noise = jax.random.normal(self.make_rng("noise"),
+                                      (x.shape[0], self.noise_dim))
         x_gen = generator(noise)
         z = encoder(x)
         z_gen = encoder(x_gen)

@@ -94,8 +94,10 @@ def run_reconstruction(model_name: str, ds: GADDataset, *,
     tx = optax.adam(lr)
     opt_state = tx.init(params)
 
+    # adj/x/train_idx enter as jit ARGUMENTS: closure constants would
+    # ship with the remote-compile payload (HTTP 413 at t_finance scale).
     @jax.jit
-    def train_step(params, opt_state):
+    def train_step(params, opt_state, adj, x, train_idx):
         def loss_fn(p):
             out = model.apply(p, adj, x)
             return loss_of(out, train_idx), out.scores
@@ -110,7 +112,7 @@ def run_reconstruction(model_name: str, ds: GADDataset, *,
 
     def step():
         state["params"], state["opt"], loss, scores = train_step(
-            state["params"], state["opt"])
+            state["params"], state["opt"], adj, x, train_idx)
         state["scores"] = scores
         return loss
 
@@ -143,8 +145,9 @@ def run_ocgnn(ds: GADDataset, *, num_epoch: int = 100, lr: float = 1e-3,
     opt_state = tx.init(params)
     oc_state = init_ocgnn_state(embedding_dim)
 
+    # adj/x/train_idx are jit ARGUMENTS, not closure constants (payload).
     @jax.jit
-    def train_step(params, opt_state, oc_state):
+    def train_step(params, opt_state, oc_state, adj, x, train_idx):
         def loss_fn(p):
             emb = model.apply(p, adj, x)
             loss, _, new_state = ocgnn_loss(
@@ -162,7 +165,8 @@ def run_ocgnn(ds: GADDataset, *, num_epoch: int = 100, lr: float = 1e-3,
 
     def step():
         (state["params"], state["opt"], state["oc"], loss,
-         scores) = train_step(state["params"], state["opt"], state["oc"])
+         scores) = train_step(state["params"], state["opt"], state["oc"],
+                              adj, x, train_idx)
         state["scores"] = scores
         return loss
 
@@ -174,43 +178,99 @@ def run_ocgnn(ds: GADDataset, *, num_epoch: int = 100, lr: float = 1e-3,
 # Adversarial family: AEGIS / GAAN (two optimizers via masked updates)
 # ---------------------------------------------------------------------------
 
+def _generator_mask(params):
+    """Bool pytree selecting the AEGIS generator subtree (for the
+    reference's generator-only second optimizer, ``aegis.py:97-98``)."""
+    import flax
+
+    flat = flax.traverse_util.flatten_dict(params)
+    return flax.traverse_util.unflatten_dict(
+        {k: ("generator" in k) for k in flat})
+
+
+def generator_only_adam(lr: float, mask) -> optax.GradientTransformation:
+    """Adam restricted to the generator subtree. NB plain
+    ``optax.masked`` passes non-masked leaves through UNCHANGED (i.e.
+    raw gradients would be applied to them); the complement mask must be
+    explicitly zeroed."""
+    inv_mask = jax.tree.map(lambda m: not m, mask)
+    return optax.chain(
+        optax.masked(optax.adam(lr), mask),
+        optax.masked(optax.set_to_zero(), inv_mask),
+    )
+
+
 def run_aegis(ds: GADDataset, *, num_epoch: int = 100,
               recon_num_epoch: int = 10, lr: float = 1e-3,
               embedding_dim: int = 300, eval_every: int = 5, seed: int = 0,
-              verbose: bool = False, logger=None) -> BaselineResult:
+              faithful: bool = False, verbose: bool = False,
+              logger=None) -> BaselineResult:
+    """AEGIS driver.
+
+    ``faithful=False`` (default): the *intended* adversarial objective —
+    discriminator trained on real-vs-stop_grad(generated), generator on
+    its own BCE, AE loss on the encoder/decoder (one summed step).
+
+    ``faithful=True``: the reference's *effective* behavior, bugs
+    included (``model_AEGIS.py:240`` returns ``loss_ae`` in the dis
+    slot; ``aegis.py:118-140``):
+      * AE pretraining never calls ``zero_grad`` → gradients accumulate
+        across pretrain epochs (epoch e steps on the sum of grads of
+        epochs 0..e);
+      * adversarial epochs: ``loss_g.backward(); loss_dis.backward()``
+        where loss_dis IS loss_ae, then BOTH a full-params Adam and a
+        generator-only Adam step on the same accumulated grads — the
+        true discriminator loss never drives a gradient;
+      * the adversarial AE term uses ALL nodes (``aegis.py:133``), not
+        the labeled normals.
+    """
     from ggad_tpu.models.aegis import AEGIS, aegis_losses, aegis_scores
 
     adj, raw, x, _ = _prep(ds)
     train_idx = jnp.asarray(ds.normal_label_idx, jnp.int32)
+    all_idx = jnp.arange(ds.n_nodes, dtype=jnp.int32)
     model = AEGIS(n_h=embedding_dim)
     rng = jax.random.PRNGKey(seed)
     params = model.init({"params": rng, "noise": rng}, adj, x)
     tx_ae = optax.adam(1e-3)     # reference aegis.py:96 (lr fixed 1e-3)
     opt_ae = tx_ae.init(params)
     tx_adv = optax.adam(lr)
-    opt_adv = tx_adv.init(params)
+    tx_gen = generator_only_adam(lr, _generator_mask(params))
+    opt_gen = tx_gen.init(params)
 
-    def fwd(p, key):
-        return model.apply(p, adj, x, rngs={"noise": key})
-
+    # adj/x/indices are jit ARGUMENTS, not closure constants (payload).
     @jax.jit
-    def ae_step(params, opt, key):
+    def ae_step(params, opt, key, adj, x, train_idx):
         def loss_fn(p):
-            out = fwd(p, key)
+            out = model.apply(p, adj, x, rngs={"noise": key})
             la, _, _ = aegis_losses(out, x, train_idx)
             return la
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
         updates, opt = tx_ae.update(grads, opt, params)
-        return optax.apply_updates(params, updates), opt, loss
+        return optax.apply_updates(params, updates), opt, loss, grads
 
     @jax.jit
-    def adv_step(params, opt, key):
+    def ae_step_faithful(params, opt, grad_acc, key, adj, x, train_idx):
+        """Pretrain step with the reference's missing zero_grad: step on
+        the RUNNING SUM of pretrain gradients (``aegis.py:119-124``)."""
+        def loss_fn(p):
+            out = model.apply(p, adj, x, rngs={"noise": key})
+            la, _, _ = aegis_losses(out, x, train_idx)
+            return la
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        grad_acc = jax.tree.map(jnp.add, grad_acc, grads)
+        updates, opt = tx_ae.update(grad_acc, opt, params)
+        return optax.apply_updates(params, updates), opt, grad_acc, loss
+
+    @jax.jit
+    def adv_step(params, opt, key, adj, x, train_idx):
         """Intended adversarial semantics: discriminator+AE on non-gen
         params, generator on its BCE (reference wiring at
-        ``aegis.py:118-140``; see model docstring for the quirk)."""
+        ``aegis.py:118-140``; see docstring for the quirk)."""
         def loss_fn(p):
-            out = fwd(p, key)
+            out = model.apply(p, adj, x, rngs={"noise": key})
             la, ld, lg = aegis_losses(out, x, train_idx)
             # gen params only get gradient from lg because la/ld paths
             # stop at the generated features:
@@ -222,18 +282,50 @@ def run_aegis(ds: GADDataset, *, num_epoch: int = 100,
         return (optax.apply_updates(params, updates), opt, la,
                 aegis_scores(out))
 
-    state = {"params": params, "scores": None}
-    for _ in range(recon_num_epoch):
-        rng, k = jax.random.split(rng)
-        state["params"], opt_ae, _ = ae_step(state["params"], opt_ae, k)
+    @jax.jit
+    def adv_step_faithful(params, opt, opt_g, key, adj, x, all_idx):
+        """Reference-effective adversarial step: grad(loss_g + loss_ae)
+        drives a full-params Adam AND a generator-only Adam (same grads,
+        independent moment state) — ``aegis.py:128-140``."""
+        def loss_fn(p):
+            out = model.apply(p, adj, x, rngs={"noise": key})
+            la, _, lg = aegis_losses(out, x, all_idx)
+            return la + lg, (out, la)
 
-    opt = tx_adv.init(state["params"])
-    opt_box = {"opt": opt, "rng": rng}
+        (loss, (out, la)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
+        updates, opt = tx_adv.update(grads, opt, params)
+        params = optax.apply_updates(params, updates)
+        updates_g, opt_g = tx_gen.update(grads, opt_g, params)
+        params = optax.apply_updates(params, updates_g)
+        return params, opt, opt_g, la, aegis_scores(out)
+
+    state = {"params": params, "scores": None}
+    if faithful:
+        grad_acc = jax.tree.map(jnp.zeros_like, params)
+        for _ in range(recon_num_epoch):
+            rng, k = jax.random.split(rng)
+            state["params"], opt_ae, grad_acc, _ = ae_step_faithful(
+                state["params"], opt_ae, grad_acc, k, adj, x, train_idx)
+    else:
+        for _ in range(recon_num_epoch):
+            rng, k = jax.random.split(rng)
+            state["params"], opt_ae, _, _ = ae_step(
+                state["params"], opt_ae, k, adj, x, train_idx)
+
+    opt_box = {"opt": tx_adv.init(state["params"]),
+               "opt_g": tx_gen.init(state["params"]), "rng": rng}
 
     def step():
         opt_box["rng"], k = jax.random.split(opt_box["rng"])
-        state["params"], opt_box["opt"], loss, scores = adv_step(
-            state["params"], opt_box["opt"], k)
+        if faithful:
+            (state["params"], opt_box["opt"], opt_box["opt_g"], loss,
+             scores) = adv_step_faithful(
+                state["params"], opt_box["opt"], opt_box["opt_g"], k,
+                adj, x, all_idx)
+        else:
+            state["params"], opt_box["opt"], loss, scores = adv_step(
+                state["params"], opt_box["opt"], k, adj, x, train_idx)
         state["scores"] = scores
         return loss
 
@@ -256,8 +348,9 @@ def run_gaan(ds: GADDataset, *, num_epoch: int = 100, lr: float = 1e-3,
     tx = optax.adam(lr)
     opt_state = tx.init(params)
 
+    # adj/x/masks are jit ARGUMENTS, not closure constants (payload).
     @jax.jit
-    def train_step(params, opt, key):
+    def train_step(params, opt, key, adj, x, train_mask, train_idx):
         def loss_fn(p):
             out = model.apply(p, x, rngs={"noise": key})
             ld, lg = gaan_losses(out, adj, x, train_mask, train_idx)
@@ -278,7 +371,8 @@ def run_gaan(ds: GADDataset, *, num_epoch: int = 100, lr: float = 1e-3,
     def step():
         state["rng"], k = jax.random.split(state["rng"])
         state["params"], state["opt"], loss, scores = train_step(
-            state["params"], state["opt"], k)
+            state["params"], state["opt"], k, adj, x, train_mask,
+            train_idx)
         state["scores"] = scores
         return loss
 
@@ -326,7 +420,9 @@ def run_baseline(name: str, ds: GADDataset, args) -> dict:
     elif name == "ocgnn":
         res = run_ocgnn(ds, embedding_dim=args.embedding_dim, **common)
     elif name == "aegis":
-        res = run_aegis(ds, embedding_dim=args.embedding_dim, **common)
+        res = run_aegis(ds, embedding_dim=args.embedding_dim,
+                        faithful=getattr(args, "aegis_faithful", False),
+                        **common)
     elif name == "gaan":
         res = run_gaan(ds, **common)
     elif name == "tam":
