@@ -118,7 +118,7 @@ def run_from_config(args) -> int:
     """YAML config (+ optional grid multi-run) path — reference
     ``src/main.py`` equivalent."""
     from ggad_tpu.datasets.loaders import load_dataset
-    from ggad_tpu.datasets.splits import minibatch_split
+    from ggad_tpu.datasets.splits import minibatch_split_for
     from ggad_tpu.train.config import load_config, multi_run
     from ggad_tpu.train.minibatch import MiniBatchTrainer
 
@@ -133,9 +133,10 @@ def run_from_config(args) -> int:
                           seed=cnf.get("seed", 72),
                           synthetic_scale=args.synthetic_scale)
         adj = ds.adj + sp.eye(ds.n_nodes, format="csr", dtype=np.float32)
-        idx_train, idx_valid, idx_test, labels, idx_anom = minibatch_split(
-            ds.ano_labels, seed=cnf.get("seed", 72),
-            test_ratio=cnf.get("test_ratio", 0.67))
+        idx_train, idx_valid, idx_test, labels, idx_anom = \
+            minibatch_split_for(
+                ds.name, ds.ano_labels, seed=cnf.get("seed", 72),
+                test_ratio=cnf.get("test_ratio", 0.67))
         tr = MiniBatchTrainer(
             adj=adj, features=ds.features, labels=labels,
             idx_train=idx_train, idx_anomaly=idx_anom,

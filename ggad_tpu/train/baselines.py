@@ -386,18 +386,33 @@ def run_gaan(ds: GADDataset, *, num_epoch: int = 100, lr: float = 1e-3,
 
 def run_tam_baseline(ds: GADDataset, *, n_h: int = 300, cutting: int = 8,
                      n_tree: int = 1, num_epoch: int = 500, lr: float = 1e-5,
-                     seed: int = 0, verbose: bool = False,
+                     seed: int = 0, use_tam_split: bool = True,
+                     verbose: bool = False,
                      logger=None) -> BaselineResult:
+    """TAM driver. ``use_tam_split=True`` (default) reproduces TAM's own
+    protocol — 80% labeled normals + active 15% real-anomaly
+    contamination of the labeled set, contaminants removed from test
+    (reference ``utils_tam.py:159-178``) — instead of the GGAD split the
+    dataset ships with."""
     from ggad_tpu.models.tam import run_tam
 
     t0 = time.time()
     graph = from_scipy(ds.adj)
     from ggad_tpu.graph import add_self_loops
     raw_adj = add_self_loops(graph)
-    res = run_tam(graph, raw_adj, ds.features, ds.normal_label_idx,
+
+    if use_tam_split:
+        from ggad_tpu.datasets.splits import tam_split
+        split = tam_split(ds.ano_labels, seed=seed)
+        normal_idx, idx_test = split.normal_label_idx, split.idx_test
+    else:
+        normal_idx, idx_test = ds.normal_label_idx, ds.idx_test
+
+    res = run_tam(graph, raw_adj, ds.features, normal_idx,
                   n_h=n_h, cutting=cutting, n_tree=n_tree,
                   num_epoch=num_epoch, lr=lr, seed=seed, verbose=verbose)
-    auc, ap = _eval_auc_ap(ds, res.scores)
+    auc = roc_auc(ds.ano_labels[idx_test], res.scores[idx_test])
+    ap = average_precision(ds.ano_labels[idx_test], res.scores[idx_test])
     rec = {"epoch": num_epoch, "auc": auc, "ap": ap}
     if logger:
         logger(rec)
@@ -441,12 +456,13 @@ def run_baseline(name: str, ds: GADDataset, args) -> dict:
 def run_minibatch_model(name: str, ds: GADDataset, args) -> dict:
     import scipy.sparse as sp
 
-    from ggad_tpu.datasets.splits import minibatch_split
+    from ggad_tpu.datasets.splits import minibatch_split_for
     from ggad_tpu.train.minibatch import MiniBatchTrainer
 
     adj = ds.adj + sp.eye(ds.n_nodes, format="csr", dtype=np.float32)
-    idx_train, idx_valid, idx_test, labels, idx_anom = minibatch_split(
-        ds.ano_labels, seed=args.seed)
+    # per-dataset split preset (reference src/model_handler.py:31-214)
+    idx_train, idx_valid, idx_test, labels, idx_anom = minibatch_split_for(
+        ds.name, ds.ano_labels, seed=args.seed)
     if name == "ggad-minibatch":
         tr = MiniBatchTrainer(
             adj=adj, features=ds.features, labels=labels,
@@ -681,9 +697,9 @@ def run_minibatch_classifier(name, adj, features, labels, idx_train,
     host_rng = np.random.default_rng(seed)
     train_pool = np.asarray(
         [i for i in idx_train if labels[i] == 0], np.int64)
-    anom_pool = np.asarray(
+    anom_pool = np.unique(np.asarray(
         list(idx_anomaly)
-        + [i for i in idx_train if labels[i] == 1], np.int64)
+        + [i for i in idx_train if labels[i] == 1], np.int64))
     best_auc, best_params = -1.0, params
 
     t0 = time.time()

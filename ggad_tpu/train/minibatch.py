@@ -91,10 +91,12 @@ class MiniBatchTrainer:
         # so shapes stay static (documented deviation, SURVEY.md §7.1).
         self._train_pool = np.asarray(
             [i for i in self.idx_train if self.labels[i] == 0], np.int32)
-        self._anom_pool = np.asarray(
+        # seeds may already sit inside idx_train under some split presets
+        # (seeds_in_train) — dedupe so sampling isn't biased toward them
+        self._anom_pool = np.unique(np.asarray(
             list(self.idx_anomaly)
             + [i for i in self.idx_train if self.labels[i] == 1],
-            np.int32)
+            np.int32))
 
         # feats/table are jit ARGUMENTS — closing over them would embed
         # hundreds of MB as compile-payload constants (HTTP 413 on the

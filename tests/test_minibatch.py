@@ -137,6 +137,80 @@ def test_minibatch_split_semantics():
     assert len(np.intersect1d(idx_valid, idx_test)) == 0
 
 
+def test_minibatch_split_presets():
+    """Per-dataset preset table vs reference src/model_handler.py:31-214."""
+    from ggad_tpu.datasets.splits import (
+        MINIBATCH_SPLIT_PRESETS,
+        minibatch_split_for,
+        minibatch_split_preset_name,
+    )
+
+    labels = np.zeros(4000, np.int64)
+    labels[:200] = 1
+
+    # name mapping (incl. typo'd alias and synthetic fallback names)
+    assert minibatch_split_preset_name("t_finance") == "tfinance"
+    assert minibatch_split_preset_name("synthetic_reddit") == "reddit"
+    assert minibatch_split_preset_name("photo") is None
+
+    # tfinance: 10% seeds, seeds stay inside idx_train
+    tr, va, te, mut, anom = minibatch_split_for("tfinance", labels, seed=1)
+    n_labeled = int(3800 * 0.3)
+    assert len(anom) == int(n_labeled * 0.1)
+    assert np.all(np.isin(anom, tr))          # seeds_in_train
+    assert np.all(mut[anom] == 1)
+
+    # elliptic: 5% seeds, seeds excluded from idx_train
+    tr, va, te, mut, anom = minibatch_split_for("elliptic", labels, seed=1)
+    assert len(anom) == int(n_labeled * 0.05)
+    assert len(np.intersect1d(anom, tr)) == 0
+
+    # dgraphfin: 20% of real anomalies contaminate train, leave eval
+    tr, va, te, mut, anom = minibatch_split_for("dgraphfin", labels, seed=1)
+    real_in_train = np.intersect1d(tr, np.arange(200))
+    assert len(real_in_train) == int(200 * 0.2)
+    assert len(np.intersect1d(te, real_in_train)) == 0
+    assert len(np.intersect1d(va, real_in_train)) == 0
+
+    # amazon: nodes below 3305 appear in no split
+    tr, va, te, mut, anom = minibatch_split_for("amazon", labels, seed=1)
+    for part in (tr, va, te, anom):
+        assert np.all(part >= 3305)
+
+    # every preset row is runnable
+    for name in MINIBATCH_SPLIT_PRESETS:
+        if name == "amazon":
+            continue  # needs n > 3305, covered above
+        minibatch_split_for(name, labels, seed=0)
+
+
+def test_tam_split_protocol():
+    """tam_split vs reference utils_tam.py:140-179."""
+    from ggad_tpu.datasets.splits import tam_split
+
+    labels = np.zeros(2000, np.int64)
+    anom_ids = np.arange(100, 300)
+    labels[anom_ids] = 1
+    s = tam_split(labels, seed=3)
+
+    # 30/10/60 split
+    assert len(s.idx_train) == 600
+    assert len(s.idx_val) == 200
+
+    lab = s.normal_label_idx
+    contaminated = lab[labels[lab] == 1]
+    clean = lab[labels[lab] == 0]
+    # 80% of the normals in train are labeled
+    normals_in_train = (labels[s.idx_train] == 0).sum()
+    assert len(clean) == int(normals_in_train * 0.8)
+    # 15% of ALL real anomalies contaminate the labeled set...
+    assert len(contaminated) == int(0.15 * len(anom_ids))
+    # ...and are removed from the test split
+    assert len(np.intersect1d(s.idx_test, contaminated)) == 0
+    # no seed set in the TAM protocol
+    assert len(s.abnormal_label_idx) == 0
+
+
 @pytest.mark.slow
 def test_minibatch_training_learns():
     ds = synthetic_gad(n_nodes=1500, avg_degree=12, feat_dim=24,
