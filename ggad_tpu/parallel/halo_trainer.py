@@ -1,0 +1,244 @@
+"""Distributed full-batch GGAD training on the boundary-halo schedule.
+
+The production multi-device path (SURVEY.md §5, §7.2 P7): the graph is
+row/edge-partitioned (:class:`EdgePartition` + :class:`HaloPlan`), every
+SpMM moves only boundary feature rows over one ``all_to_all``, and the
+affinity term runs the exchange forward (normalized rows) and backward
+(per-column scalar partials). Parameters are replicated; XLA inserts the
+gradient ``psum`` for the replicated-parameter update.
+
+The parameter pytree is EXACTLY the flax ``GGAD`` module's
+(``model.init(...)``), so single-device flax training and this step are
+interchangeable and testable against each other — same math, different
+comm schedule. Reference counterpart: none (``README.md:21`` — the
+reference is a single-process 24-core-CPU program).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ggad_tpu.graph import Graph
+from ggad_tpu.parallel.spmm_shard import (
+    EdgePartition,
+    HaloPlan,
+    affinity_halo,
+    build_halo_plan,
+    pad_nodes,
+    partition_edges,
+    place_halo_plan,
+    place_partition,
+    spmm_halo,
+)
+from ggad_tpu.train.losses import GGADLosses, bce_with_logits
+
+
+def _prelu(x, alpha):
+    return jnp.where(x >= 0, x, alpha * x)
+
+
+def halo_ggad_forward_and_losses(
+    params: Any,
+    part: EdgePartition,
+    plan: HaloPlan,
+    x_pad: jax.Array,
+    seed_idx: jax.Array,
+    normal_idx: jax.Array,
+    noise: jax.Array,
+    raw_part: EdgePartition,
+    raw_plan: HaloPlan,
+    mesh: Mesh,
+    axis: str = "nodes",
+    *,
+    confidence_margin: float = 0.7,
+    pos_weight: float = 1.0,
+) -> GGADLosses:
+    """GGAD train-mode forward + 3-term loss with halo collectives.
+
+    Mirrors ``models/ggad.py`` + ``train/losses.py`` exactly (same param
+    tree, same math); ``noise`` is the pre-drawn [S, n_h] perturbation.
+    """
+    pr = params["params"]
+
+    def gcn(name, h):
+        hw = jnp.dot(h, pr[name]["fc"]["kernel"],
+                     preferred_element_type=jnp.float32)
+        agg = spmm_halo(part, plan, hw, mesh, axis) + pr[name]["bias"]
+        return _prelu(agg, pr[name]["prelu"]["alpha"])
+
+    emb = gcn("gcn2", gcn("gcn1", x_pad))
+    emb_abnormal = emb[seed_idx] + noise
+
+    # generated outliers from neighborhood aggregates (model.py:151-156)
+    agg = spmm_halo(part, plan, emb, mesh, axis)[seed_idx]
+    emb_con = jax.nn.relu(jnp.dot(agg, pr["fc4"]["kernel"],
+                                  preferred_element_type=jnp.float32))
+    emb_combine = jnp.concatenate([emb[normal_idx], emb_con], axis=0)
+
+    h = jax.nn.relu(emb_combine @ pr["head"]["fc1"]["kernel"])
+    h = jax.nn.relu(h @ pr["head"]["fc2"]["kernel"])
+    logits = h @ pr["head"]["fc3"]["kernel"]
+
+    emb = emb.at[seed_idx].set(emb_con)
+
+    n_normal, n_seed = normal_idx.shape[0], seed_idx.shape[0]
+    labels = jnp.concatenate([
+        jnp.zeros((n_normal, 1), jnp.float32),
+        jnp.ones((n_seed, 1), jnp.float32),
+    ])
+    loss_bce = jnp.mean(bce_with_logits(logits, labels, pos_weight))
+
+    affinity = affinity_halo(raw_part, raw_plan, emb, mesh, axis)
+    aff_normal = jnp.mean(affinity[normal_idx])
+    aff_outlier = jnp.mean(affinity[seed_idx])
+    loss_margin = jnp.maximum(
+        confidence_margin - (aff_normal - aff_outlier), 0.0)
+
+    diff = jnp.square(emb_con - emb_abnormal)
+    loss_rec = jnp.mean(jnp.sqrt(jnp.sum(diff, axis=1)))
+
+    total = loss_margin + loss_bce + loss_rec
+    return GGADLosses(total, loss_bce, loss_margin, loss_rec,
+                      aff_normal, aff_outlier)
+
+
+def make_halo_train_step(
+    tx: optax.GradientTransformation,
+    mesh: Mesh,
+    axis: str = "nodes",
+    *,
+    noise_mean: float = 0.0,
+    noise_std: float = 0.0,
+    n_h: int = 300,
+    confidence_margin: float = 0.7,
+    pos_weight: float = 1.0,
+    n_steps: int = 1,
+) -> Callable:
+    """Jitted (params, opt_state, rng, part, plan, raw_part, raw_plan,
+    x_pad, seed_idx, normal_idx) → (params, opt_state, losses); fuses
+    ``n_steps`` steps per dispatch via lax.scan. Graph/feature pytrees
+    enter as ARGUMENTS (payload rule)."""
+
+    def one_step(params, opt_state, key, part, plan, raw_part, raw_plan,
+                 x_pad, seed_idx, normal_idx):
+        noise = (jax.random.normal(key, (seed_idx.shape[0], n_h))
+                 * noise_std + noise_mean)
+
+        def loss_fn(p):
+            losses = halo_ggad_forward_and_losses(
+                p, part, plan, x_pad, seed_idx, normal_idx, noise,
+                raw_part, raw_plan, mesh, axis,
+                confidence_margin=confidence_margin,
+                pos_weight=pos_weight)
+            return losses.total, losses
+
+        (_, losses), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, losses
+
+    def step(params, opt_state, rng, part, plan, raw_part, raw_plan,
+             x_pad, seed_idx, normal_idx):
+        if n_steps == 1:
+            rng, key = jax.random.split(rng)
+            return one_step(params, opt_state, key, part, plan, raw_part,
+                            raw_plan, x_pad, seed_idx, normal_idx)
+
+        def body(carry, key):
+            params, opt_state = carry
+            params, opt_state, losses = one_step(
+                params, opt_state, key, part, plan, raw_part, raw_plan,
+                x_pad, seed_idx, normal_idx)
+            return (params, opt_state), losses
+
+        keys = jax.random.split(rng, n_steps)
+        (params, opt_state), losses = jax.lax.scan(
+            body, (params, opt_state), keys)
+        return params, opt_state, jax.tree.map(lambda a: a[-1], losses)
+
+    return jax.jit(step, donate_argnums=(0, 1))
+
+
+@dataclasses.dataclass
+class HaloSetup:
+    part: EdgePartition
+    plan: HaloPlan
+    raw_part: EdgePartition
+    raw_plan: HaloPlan
+    x_pad: jax.Array
+    seed_idx: jax.Array
+    normal_idx: jax.Array
+
+
+def prepare_halo(dataset, mesh: Mesh, axis: str = "nodes") -> HaloSetup:
+    """Partition + plan both graphs of a GAD dataset and place on mesh."""
+    from ggad_tpu.graph import from_scipy
+    from ggad_tpu.ops.normalize import normalize_adj_reference
+
+    g = from_scipy(dataset.adj)
+    adj, raw_adj = normalize_adj_reference(g)
+    n_dev = int(np.prod(list(mesh.shape.values())))
+    part = partition_edges(adj, n_dev)
+    raw_part = partition_edges(raw_adj, n_dev)
+    plan = place_halo_plan(build_halo_plan(part), mesh, axis)
+    raw_plan = place_halo_plan(build_halo_plan(raw_part), mesh, axis)
+    part = place_partition(part, mesh, axis)
+    raw_part = place_partition(raw_part, mesh, axis)
+
+    x = pad_nodes(jnp.asarray(dataset.features, jnp.float32), part)
+    x_pad = jax.device_put(x, NamedSharding(mesh, P(axis)))
+    repl = NamedSharding(mesh, P())
+    seed_idx = jax.device_put(
+        jnp.asarray(dataset.abnormal_label_idx, jnp.int32), repl)
+    normal_idx = jax.device_put(
+        jnp.asarray(dataset.normal_label_idx, jnp.int32), repl)
+    return HaloSetup(part, plan, raw_part, raw_plan, x_pad, seed_idx,
+                     normal_idx)
+
+
+def halo_training_run(mesh: Mesh, dataset, *, n_h: int = 64,
+                      lr: float = 1e-3, noise_mean: float = 0.02,
+                      noise_std: float = 0.01, seed: int = 0,
+                      n_steps: int = 1, steps_per_dispatch: int = 1):
+    """Build + run the halo-distributed GGAD training loop; returns the
+    final losses pytree. Used by the multichip dry-run and the scaling
+    harness."""
+    from ggad_tpu.graph import from_scipy
+    from ggad_tpu.models.ggad import GGAD
+    from ggad_tpu.ops.normalize import normalize_adj_reference
+    from ggad_tpu.parallel.full_batch import replicate
+
+    setup = prepare_halo(dataset, mesh)
+    # identical param tree to the single-device flax model
+    adj, _ = normalize_adj_reference(from_scipy(dataset.adj))
+    model = GGAD(n_h=n_h, noise_mean=noise_mean, noise_std=noise_std)
+    rng = jax.random.PRNGKey(seed)
+    rng, init_rng, noise_rng = jax.random.split(rng, 3)
+    params = model.init(
+        {"params": init_rng, "noise": noise_rng}, adj,
+        jnp.asarray(dataset.features, jnp.float32), setup.seed_idx,
+        setup.normal_idx, train=True)
+    params = replicate(params, mesh)
+    tx = optax.adam(lr)
+    opt_state = replicate(tx.init(params), mesh)
+
+    step = make_halo_train_step(
+        tx, mesh, noise_mean=noise_mean, noise_std=noise_std, n_h=n_h,
+        n_steps=steps_per_dispatch)
+    losses = None
+    for _ in range(n_steps):
+        rng, step_rng = jax.random.split(rng)
+        params, opt_state, losses = step(
+            params, opt_state, step_rng, setup.part, setup.plan,
+            setup.raw_part, setup.raw_plan, setup.x_pad, setup.seed_idx,
+            setup.normal_idx)
+    jax.block_until_ready(losses.total)
+    return params, losses
