@@ -39,6 +39,7 @@ def synthetic_gad(
     n_communities: int = 8,
     anomaly_rate: float = 0.05,
     feature_noise: float = 0.4,
+    intra_frac: float = 0.9,
     seed: int = 0,
     split_seed: int = 0,
     seed_frac: float = 0.15,
@@ -68,8 +69,8 @@ def synthetic_gad(
     m = n_nodes * avg_degree // 2
     src = rng.integers(0, n_nodes, size=2 * m)
     dst = np.empty_like(src)
-    # intra-community partner for 90% of edges, random for 10%
-    same = rng.random(2 * m) < 0.9
+    # intra-community partner for intra_frac of edges, random otherwise
+    same = rng.random(2 * m) < intra_frac
     for c in range(n_communities):
         members = np.flatnonzero(comm == c)
         sel = same & (comm[src] == c)

@@ -69,6 +69,14 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.gg_sample_neighbors.argtypes = [ctypes.c_int64, i32p, i32p, i32p,
                                         ctypes.c_int32, ctypes.c_uint64,
                                         i32p, f32p]
+    lib.gg_partition_refine.restype = ctypes.c_int64
+    lib.gg_partition_refine.argtypes = [ctypes.c_int32, ctypes.c_int32,
+                                        ctypes.c_int64, i32p, i32p, f32p,
+                                        i32p, i32p, ctypes.c_int32,
+                                        ctypes.c_uint64]
+    lib.gg_hem_match.restype = ctypes.c_int64
+    lib.gg_hem_match.argtypes = [ctypes.c_int32, i32p, i32p, f32p,
+                                 ctypes.c_uint64, i32p]
     _lib = lib
     return _lib
 
@@ -227,3 +235,93 @@ def sample_neighbors_host(query: np.ndarray, indptr: np.ndarray,
                      query[:, None])
     mask = has.astype(np.float32) * np.ones((1, fanout), np.float32)
     return neigh.astype(np.int32), mask
+
+
+def partition_refine(indptr: np.ndarray, indices: np.ndarray,
+                     part: np.ndarray, n_parts: int, cap: int,
+                     rounds: int = 10, seed: int = 1,
+                     weights: Optional[np.ndarray] = None,
+                     node_w: Optional[np.ndarray] = None) -> np.ndarray:
+    """Capacity-bounded async label-propagation refinement of a node
+    partition (in C++ — an O(N·rounds) scalar loop). ``weights``: edge
+    weights (default 1); ``node_w``: node weights for the capacity
+    (default 1). Python fallback is a synchronous vectorized
+    approximation (coarser but functional)."""
+    part = np.ascontiguousarray(part, np.int32).copy()
+    indptr = np.ascontiguousarray(indptr, np.int32)
+    indices = np.ascontiguousarray(indices, np.int32)
+    if weights is not None:
+        weights = np.ascontiguousarray(weights, np.float32)
+    if node_w is not None:
+        node_w = np.ascontiguousarray(node_w, np.int32)
+    lib = _load()
+    if lib is not None:
+        lib.gg_partition_refine(
+            len(part), n_parts, cap, _p(indptr, ctypes.c_int32),
+            _p(indices, ctypes.c_int32),
+            _p(weights, ctypes.c_float) if weights is not None else None,
+            _p(node_w, ctypes.c_int32) if node_w is not None else None,
+            _p(part, ctypes.c_int32), rounds, seed)
+        return part
+    import scipy.sparse as sp
+    n = len(part)
+    w = (weights if weights is not None
+         else np.ones(len(indices), np.float32))
+    nw = (node_w if node_w is not None else np.ones(n, np.int64))
+    a = sp.csr_matrix((w, indices, indptr), shape=(n, n))
+    for _ in range(rounds):
+        onehot = sp.csr_matrix(
+            (np.ones(n, np.float32), (np.arange(n), part)),
+            shape=(n, n_parts))
+        votes = np.asarray((a @ onehot).todense())
+        best = votes.argmax(axis=1).astype(np.int32)
+        gain = votes[np.arange(n), best] - votes[np.arange(n), part]
+        move = np.flatnonzero((best != part) & (gain > 0))
+        # honor capacity greedily, best gains first
+        sizes = np.bincount(part, weights=nw, minlength=n_parts)
+        for i in move[np.argsort(-gain[move])]:
+            q = best[i]
+            if sizes[q] + nw[i] <= cap:
+                sizes[part[i]] -= nw[i]
+                sizes[q] += nw[i]
+                part[i] = q
+        if len(move) == 0:
+            break
+    return part
+
+
+def hem_match(indptr: np.ndarray, indices: np.ndarray,
+              weights: Optional[np.ndarray] = None,
+              seed: int = 1) -> np.ndarray:
+    """Heavy-edge matching for multilevel coarsening: partner[i] = the
+    matched peer of i (i itself when unmatched)."""
+    indptr = np.ascontiguousarray(indptr, np.int32)
+    indices = np.ascontiguousarray(indices, np.int32)
+    if weights is not None:
+        weights = np.ascontiguousarray(weights, np.float32)
+    n = len(indptr) - 1
+    partner = np.empty(n, np.int32)
+    lib = _load()
+    if lib is not None:
+        lib.gg_hem_match(
+            n, _p(indptr, ctypes.c_int32), _p(indices, ctypes.c_int32),
+            _p(weights, ctypes.c_float) if weights is not None else None,
+            seed, _p(partner, ctypes.c_int32))
+        return partner
+    # python fallback: sequential greedy matching
+    rng = np.random.default_rng(seed)
+    partner[:] = -1
+    w = (weights if weights is not None
+         else np.ones(len(indices), np.float32))
+    for i in rng.permutation(n):
+        if partner[i] != -1:
+            continue
+        sl = slice(indptr[i], indptr[i + 1])
+        nbrs, ws = indices[sl], w[sl]
+        free = (partner[nbrs] == -1) & (nbrs != i)
+        if free.any():
+            j = nbrs[free][int(np.argmax(ws[free]))]
+            partner[i], partner[j] = j, i
+        else:
+            partner[i] = i
+    return partner

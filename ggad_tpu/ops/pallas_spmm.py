@@ -221,6 +221,79 @@ bcsr_spmm.defvjp(_bcsr_spmm_vjp_fwd, _bcsr_spmm_vjp_bwd)
 
 
 # --------------------------------------------------------------------------
+# Rectangular BCSR matmul (sharded halo path: local [R × (D·B+R)] blocks)
+# --------------------------------------------------------------------------
+
+@partial(jax.custom_vjp, nondiff_argnums=(2,))
+def bcsr_spmm_rect(pair: BCSRPair, buf: jax.Array, n_out: int) -> jax.Array:
+    """out[:n_out] = M @ buf for a RECTANGULAR tile set (fwd: n_rows ×
+    n_cols, bwd: the transpose). Differentiable in ``buf``; used by the
+    halo-sharded SpMM where the local matrix maps the combined
+    [recv ‖ local] buffer onto the shard's rows."""
+    return _bcsr_rect_fwd_only(pair, buf, n_out)
+
+
+def _bcsr_rect_fwd_only(pair, buf, n_out):
+    d = buf.shape[1]
+    d_tile = _pick_d_tile(d)
+    hp = _pad_h(buf, pair.fwd.n_cols, d_tile)
+    return _bcsr_matmul_raw(pair.fwd, hp, d_tile)[:n_out, :d]
+
+
+def _bcsr_rect_vjp_fwd(pair, buf, n_out):
+    return _bcsr_rect_fwd_only(pair, buf, n_out), (pair, buf.shape)
+
+
+def _bcsr_rect_vjp_bwd(n_out, res, g):
+    pair, (n_buf, d) = res
+    d_tile = _pick_d_tile(d)
+    gp = _pad_h(g, pair.bwd.n_cols, d_tile)
+    dbuf = _bcsr_matmul_raw(pair.bwd, gp, d_tile)[:n_buf, :d]
+    return None, dbuf
+
+
+bcsr_spmm_rect.defvjp(_bcsr_rect_vjp_fwd, _bcsr_rect_vjp_bwd)
+
+
+def bcsr_rect_from_coo(row: np.ndarray, col: np.ndarray, val: np.ndarray,
+                       n_rows: int, n_cols: int, n_tiles_pad: int = 0,
+                       dtype=np.float32) -> BCSR:
+    """Host-side rectangular tile-COO build.
+
+    Every output row block gets at least one (zero) tile — Pallas out
+    blocks no tile visits would otherwise hold UNINITIALIZED memory
+    (the square graph path is immune only because +I self-loops occupy
+    every diagonal tile). ``n_tiles_pad`` pads the tile count with zero
+    tiles REPEATING THE LAST key so the kernel's row-change zeroing
+    never re-fires.
+    """
+    rp, cp = _round_up(max(n_rows, TILE), TILE), _round_up(
+        max(n_cols, TILE), TILE)
+    nrt, nct = rp // TILE, cp // TILE
+    live = val != 0
+    row, col, val = row[live], col[live], val[live]
+    tkey = (row // TILE).astype(np.int64) * nct + col // TILE
+    # cover every row block: a zero tile at (block, col 0) where absent
+    missing = np.setdiff1d(np.arange(nrt, dtype=np.int64),
+                           np.unique(row // TILE))
+    tkey = np.concatenate([tkey, missing * nct])
+    uniq, inv = np.unique(tkey, return_inverse=True)
+    inv = inv[: len(row)]           # the cover keys carry no values
+    n_pad = max(n_tiles_pad, len(uniq))
+    values = np.zeros((n_pad, TILE, TILE), dtype)
+    np.add.at(values, (inv, row % TILE, col % TILE), val.astype(dtype))
+    tile_rows = np.zeros(n_pad, np.int32)
+    tile_cols = np.zeros(n_pad, np.int32)
+    tile_rows[: len(uniq)] = uniq // nct
+    tile_cols[: len(uniq)] = uniq % nct
+    tile_rows[len(uniq):] = tile_rows[len(uniq) - 1]
+    tile_cols[len(uniq):] = tile_cols[len(uniq) - 1]
+    return BCSR(tile_rows=jnp.asarray(tile_rows),
+                tile_cols=jnp.asarray(tile_cols),
+                values=jnp.asarray(values), n_rows=rp, n_cols=cp)
+
+
+# --------------------------------------------------------------------------
 # Graph-level wrapper with cached tiles
 # --------------------------------------------------------------------------
 

@@ -28,14 +28,18 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ggad_tpu.graph import Graph
 from ggad_tpu.parallel.spmm_shard import (
     EdgePartition,
+    HaloBCSR,
     HaloPlan,
     affinity_halo,
+    build_halo_bcsr,
     build_halo_plan,
     pad_nodes,
     partition_edges,
+    place_halo_bcsr,
     place_halo_plan,
     place_partition,
     spmm_halo,
+    spmm_halo_bcsr,
 )
 from ggad_tpu.train.losses import GGADLosses, bce_with_logits
 
@@ -57,6 +61,7 @@ def halo_ggad_forward_and_losses(
     mesh: Mesh,
     axis: str = "nodes",
     *,
+    tiles: HaloBCSR | None = None,
     confidence_margin: float = 0.7,
     pos_weight: float = 1.0,
 ) -> GGADLosses:
@@ -64,20 +69,28 @@ def halo_ggad_forward_and_losses(
 
     Mirrors ``models/ggad.py`` + ``train/losses.py`` exactly (same param
     tree, same math); ``noise`` is the pre-drawn [S, n_h] perturbation.
+    ``tiles``: per-shard BCSR tile sets — the encoder/generator SpMMs
+    run on the MXU (Pallas) instead of gather/segment-sum; the affinity
+    stays edge-parallel (its SDDMM is the cross-device reduction).
     """
     pr = params["params"]
+
+    def halo_mm(h):
+        if tiles is not None:
+            return spmm_halo_bcsr(part, plan, tiles, h, mesh, axis)
+        return spmm_halo(part, plan, h, mesh, axis)
 
     def gcn(name, h):
         hw = jnp.dot(h, pr[name]["fc"]["kernel"],
                      preferred_element_type=jnp.float32)
-        agg = spmm_halo(part, plan, hw, mesh, axis) + pr[name]["bias"]
+        agg = halo_mm(hw) + pr[name]["bias"]
         return _prelu(agg, pr[name]["prelu"]["alpha"])
 
     emb = gcn("gcn2", gcn("gcn1", x_pad))
     emb_abnormal = emb[seed_idx] + noise
 
     # generated outliers from neighborhood aggregates (model.py:151-156)
-    agg = spmm_halo(part, plan, emb, mesh, axis)[seed_idx]
+    agg = halo_mm(emb)[seed_idx]
     emb_con = jax.nn.relu(jnp.dot(agg, pr["fc4"]["kernel"],
                                   preferred_element_type=jnp.float32))
     emb_combine = jnp.concatenate([emb[normal_idx], emb_con], axis=0)
@@ -122,19 +135,20 @@ def make_halo_train_step(
     n_steps: int = 1,
 ) -> Callable:
     """Jitted (params, opt_state, rng, part, plan, raw_part, raw_plan,
-    x_pad, seed_idx, normal_idx) → (params, opt_state, losses); fuses
-    ``n_steps`` steps per dispatch via lax.scan. Graph/feature pytrees
-    enter as ARGUMENTS (payload rule)."""
+    x_pad, seed_idx, normal_idx, tiles=None) → (params, opt_state,
+    losses); fuses ``n_steps`` steps per dispatch via lax.scan.
+    Graph/feature pytrees enter as ARGUMENTS (payload rule); pass
+    ``tiles`` (HaloBCSR) to run the SpMMs on the MXU."""
 
     def one_step(params, opt_state, key, part, plan, raw_part, raw_plan,
-                 x_pad, seed_idx, normal_idx):
+                 x_pad, seed_idx, normal_idx, tiles):
         noise = (jax.random.normal(key, (seed_idx.shape[0], n_h))
                  * noise_std + noise_mean)
 
         def loss_fn(p):
             losses = halo_ggad_forward_and_losses(
                 p, part, plan, x_pad, seed_idx, normal_idx, noise,
-                raw_part, raw_plan, mesh, axis,
+                raw_part, raw_plan, mesh, axis, tiles=tiles,
                 confidence_margin=confidence_margin,
                 pos_weight=pos_weight)
             return losses.total, losses
@@ -146,17 +160,17 @@ def make_halo_train_step(
         return params, opt_state, losses
 
     def step(params, opt_state, rng, part, plan, raw_part, raw_plan,
-             x_pad, seed_idx, normal_idx):
+             x_pad, seed_idx, normal_idx, tiles=None):
         if n_steps == 1:
             rng, key = jax.random.split(rng)
             return one_step(params, opt_state, key, part, plan, raw_part,
-                            raw_plan, x_pad, seed_idx, normal_idx)
+                            raw_plan, x_pad, seed_idx, normal_idx, tiles)
 
         def body(carry, key):
             params, opt_state = carry
             params, opt_state, losses = one_step(
                 params, opt_state, key, part, plan, raw_part, raw_plan,
-                x_pad, seed_idx, normal_idx)
+                x_pad, seed_idx, normal_idx, tiles)
             return (params, opt_state), losses
 
         keys = jax.random.split(rng, n_steps)
@@ -176,10 +190,17 @@ class HaloSetup:
     x_pad: jax.Array
     seed_idx: jax.Array
     normal_idx: jax.Array
+    tiles: HaloBCSR | None = None
 
 
-def prepare_halo(dataset, mesh: Mesh, axis: str = "nodes") -> HaloSetup:
-    """Partition + plan both graphs of a GAD dataset and place on mesh."""
+def prepare_halo(dataset, mesh: Mesh, axis: str = "nodes",
+                 spmm_impl: str = "xla",
+                 spmm_dtype: str = "float32") -> HaloSetup:
+    """Partition + plan both graphs of a GAD dataset and place on mesh.
+
+    ``spmm_impl='pallas'`` also builds the per-shard BCSR tile sets so
+    the encoder/generator SpMMs run on the MXU (``spmm_dtype='bfloat16'``
+    for the quality-cleared 1-pass fast mode)."""
     from ggad_tpu.graph import from_scipy
     from ggad_tpu.ops.normalize import normalize_adj_reference
 
@@ -188,7 +209,13 @@ def prepare_halo(dataset, mesh: Mesh, axis: str = "nodes") -> HaloSetup:
     n_dev = int(np.prod(list(mesh.shape.values())))
     part = partition_edges(adj, n_dev)
     raw_part = partition_edges(raw_adj, n_dev)
-    plan = place_halo_plan(build_halo_plan(part), mesh, axis)
+    plan_host = build_halo_plan(part)
+    tiles = None
+    if spmm_impl == "pallas":
+        tiles = place_halo_bcsr(
+            build_halo_bcsr(part, plan_host, dtype=spmm_dtype), mesh,
+            axis)
+    plan = place_halo_plan(plan_host, mesh, axis)
     raw_plan = place_halo_plan(build_halo_plan(raw_part), mesh, axis)
     part = place_partition(part, mesh, axis)
     raw_part = place_partition(raw_part, mesh, axis)
@@ -201,13 +228,15 @@ def prepare_halo(dataset, mesh: Mesh, axis: str = "nodes") -> HaloSetup:
     normal_idx = jax.device_put(
         jnp.asarray(dataset.normal_label_idx, jnp.int32), repl)
     return HaloSetup(part, plan, raw_part, raw_plan, x_pad, seed_idx,
-                     normal_idx)
+                     normal_idx, tiles)
 
 
 def halo_training_run(mesh: Mesh, dataset, *, n_h: int = 64,
                       lr: float = 1e-3, noise_mean: float = 0.02,
                       noise_std: float = 0.01, seed: int = 0,
-                      n_steps: int = 1, steps_per_dispatch: int = 1):
+                      n_steps: int = 1, steps_per_dispatch: int = 1,
+                      spmm_impl: str = "xla",
+                      spmm_dtype: str = "float32"):
     """Build + run the halo-distributed GGAD training loop; returns the
     final losses pytree. Used by the multichip dry-run and the scaling
     harness."""
@@ -216,7 +245,8 @@ def halo_training_run(mesh: Mesh, dataset, *, n_h: int = 64,
     from ggad_tpu.ops.normalize import normalize_adj_reference
     from ggad_tpu.parallel.full_batch import replicate
 
-    setup = prepare_halo(dataset, mesh)
+    setup = prepare_halo(dataset, mesh, spmm_impl=spmm_impl,
+                         spmm_dtype=spmm_dtype)
     # identical param tree to the single-device flax model
     adj, _ = normalize_adj_reference(from_scipy(dataset.adj))
     model = GGAD(n_h=n_h, noise_mean=noise_mean, noise_std=noise_std)
@@ -239,6 +269,6 @@ def halo_training_run(mesh: Mesh, dataset, *, n_h: int = 64,
         params, opt_state, losses = step(
             params, opt_state, step_rng, setup.part, setup.plan,
             setup.raw_part, setup.raw_plan, setup.x_pad, setup.seed_idx,
-            setup.normal_idx)
+            setup.normal_idx, setup.tiles)
     jax.block_until_ready(losses.total)
     return params, losses

@@ -275,6 +275,112 @@ def spmm_halo(part: EdgePartition, plan: HaloPlan, h: jax.Array,
     )(plan.send_idx, plan.col_remap, part.row_local, part.val, h)
 
 
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class HaloBCSR:
+    """Per-shard BCSR tile sets for the halo-local SpMM (MXU path).
+
+    Shard d's local sparse matrix maps the combined [recv(D·B) ‖ local(R)]
+    buffer onto its R rows; ``fwd_*``/``bwd_*`` hold the forward and
+    transposed tile sets stacked on a leading device axis (sharded with
+    ``P(axis)``), tile counts padded to the max across shards.
+    """
+
+    fwd_rows: jax.Array   # [D, Tf]
+    fwd_cols: jax.Array   # [D, Tf]
+    fwd_vals: jax.Array   # [D, Tf, TILE, TILE]
+    bwd_rows: jax.Array   # [D, Tb]
+    bwd_cols: jax.Array   # [D, Tb]
+    bwd_vals: jax.Array   # [D, Tb, TILE, TILE]
+    r_pad: int = dataclasses.field(metadata=dict(static=True))
+    c_pad: int = dataclasses.field(metadata=dict(static=True))
+
+
+def build_halo_bcsr(part: EdgePartition, plan: HaloPlan,
+                    dtype=np.float32) -> HaloBCSR:
+    """Host-side: per-shard rectangular BCSR of the remapped edge blocks
+    (``dtype=bfloat16`` for the 1-pass MXU fast mode)."""
+    from ggad_tpu.ops.pallas_spmm import TILE, bcsr_rect_from_coo
+
+    D, E, R, B = (part.n_shards, part.e_shard, part.rows_per_shard,
+                  plan.boundary)
+    C = D * B + R
+    rl = np.asarray(part.row_local).reshape(D, E)
+    cr = np.asarray(plan.col_remap).reshape(D, E)
+    vv = np.asarray(part.val).reshape(D, E)
+
+    np_dtype = np.float32 if dtype in (np.float32, "float32") \
+        else jnp.bfloat16
+    fwd = [bcsr_rect_from_coo(rl[d], cr[d], vv[d], R, C, dtype=np_dtype)
+           for d in range(D)]
+    bwd = [bcsr_rect_from_coo(cr[d], rl[d], vv[d], C, R, dtype=np_dtype)
+           for d in range(D)]
+
+    def stack(blocks, t_max):
+        rows = np.zeros((D, t_max), np.int32)
+        cols = np.zeros((D, t_max), np.int32)
+        vals = np.zeros((D, t_max, TILE, TILE), np_dtype)
+        for d, b in enumerate(blocks):
+            t = b.tile_rows.shape[0]
+            rows[d, :t] = np.asarray(b.tile_rows)
+            cols[d, :t] = np.asarray(b.tile_cols)
+            vals[d, :t] = np.asarray(b.values)
+            rows[d, t:] = rows[d, t - 1]
+            cols[d, t:] = cols[d, t - 1]
+        return (jnp.asarray(rows.reshape(-1)),
+                jnp.asarray(cols.reshape(-1)),
+                jnp.asarray(vals.reshape(D * t_max, TILE, TILE)))
+
+    tf = max(b.tile_rows.shape[0] for b in fwd)
+    tb = max(b.tile_rows.shape[0] for b in bwd)
+    fr, fc, fv = stack(fwd, tf)
+    br, bc, bv = stack(bwd, tb)
+    return HaloBCSR(fwd_rows=fr, fwd_cols=fc, fwd_vals=fv,
+                    bwd_rows=br, bwd_cols=bc, bwd_vals=bv,
+                    r_pad=fwd[0].n_rows, c_pad=fwd[0].n_cols)
+
+
+def place_halo_bcsr(tiles: HaloBCSR, mesh: Mesh,
+                    axis: str = "nodes") -> HaloBCSR:
+    sh = NamedSharding(mesh, P(axis))
+    return jax.tree.map(lambda a: jax.device_put(a, sh), tiles)
+
+
+def spmm_halo_bcsr(part: EdgePartition, plan: HaloPlan, tiles: HaloBCSR,
+                   h: jax.Array, mesh: Mesh,
+                   axis: str = "nodes") -> jax.Array:
+    """out = A @ h: boundary all_to_all + per-shard Pallas BCSR matmul
+    on the MXU (the sharded counterpart of ``ops.pallas_spmm``)."""
+    from ggad_tpu.ops.pallas_spmm import BCSR, BCSRPair, bcsr_spmm_rect
+
+    D, B, R = plan.n_shards, plan.boundary, plan.rows_per_shard
+    tf = tiles.fwd_rows.shape[0] // D
+    tb = tiles.bwd_rows.shape[0] // D
+
+    def local(send_idx, fr, fc, fv, br, bc, bv, h_local):
+        send = h_local[send_idx.reshape(D, B)]
+        recv = jax.lax.all_to_all(send, axis, 0, 0, tiled=True)
+        buf = jnp.concatenate([recv.reshape(D * B, -1), h_local], axis=0)
+        pair = BCSRPair(
+            fwd=BCSR(fr.reshape(tf), fc.reshape(tf),
+                     fv.reshape(tf, *fv.shape[-2:]),
+                     n_rows=tiles.r_pad, n_cols=tiles.c_pad),
+            bwd=BCSR(br.reshape(tb), bc.reshape(tb),
+                     bv.reshape(tb, *bv.shape[-2:]),
+                     n_rows=tiles.c_pad, n_cols=tiles.r_pad),
+            n_nodes=R)
+        return bcsr_spmm_rect(pair, buf, R)
+
+    return jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(axis),) * 8,
+        out_specs=P(axis),
+        # pallas_call can't declare varying-mesh-axes metadata yet
+        check_vma=False,
+    )(plan.send_idx, tiles.fwd_rows, tiles.fwd_cols, tiles.fwd_vals,
+      tiles.bwd_rows, tiles.bwd_cols, tiles.bwd_vals, h)
+
+
 def affinity_halo(part: EdgePartition, plan: HaloPlan, emb: jax.Array,
                   mesh: Mesh, axis: str = "nodes") -> jax.Array:
     """Per-node local affinity with boundary exchange: normalized rows

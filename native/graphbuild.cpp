@@ -214,4 +214,109 @@ int gg_sample_neighbors(int64_t n_query, const int32_t* query,
     return 0;
 }
 
+// --- Balanced partition refinement ---------------------------------------
+
+// Asynchronous label propagation with a hard per-part NODE-WEIGHT
+// capacity: each node moves to the partition holding the (edge-weighted)
+// majority of its neighbors when that strictly reduces its weighted cut
+// and the destination has room. weights/node_w may be null (= all 1).
+// Visit order reshuffles each round (xorshift). Returns total moves.
+int64_t gg_partition_refine(int32_t n, int32_t n_parts, int64_t cap,
+                            const int32_t* indptr, const int32_t* indices,
+                            const float* weights, const int32_t* node_w,
+                            int32_t* part, int32_t rounds, uint64_t seed) {
+    std::vector<int64_t> sizes(n_parts, 0);
+    for (int32_t i = 0; i < n; ++i)
+        sizes[part[i]] += node_w ? node_w[i] : 1;
+    std::vector<float> counts(n_parts, 0.0f);
+    std::vector<int32_t> touched;
+    touched.reserve(64);
+    std::vector<int32_t> order(n);
+    for (int32_t i = 0; i < n; ++i) order[i] = i;
+    uint64_t s = seed ? seed : 0x9e3779b97f4a7c15ull;
+    auto next = [&s]() {
+        s ^= s << 13; s ^= s >> 7; s ^= s << 17;
+        return s;
+    };
+    int64_t total_moved = 0;
+    for (int32_t r = 0; r < rounds; ++r) {
+        for (int32_t i = n - 1; i > 0; --i)
+            std::swap(order[i], order[next() % (i + 1)]);
+        int64_t moved = 0;
+        for (int32_t k = 0; k < n; ++k) {
+            int32_t i = order[k];
+            int32_t p = part[i];
+            int32_t w_i = node_w ? node_w[i] : 1;
+            touched.clear();
+            for (int32_t e = indptr[i]; e < indptr[i + 1]; ++e) {
+                int32_t q = part[indices[e]];
+                if (counts[q] == 0.0f) touched.push_back(q);
+                counts[q] += weights ? weights[e] : 1.0f;
+            }
+            int32_t best = p;
+            float best_c = counts[p];
+            for (int32_t q : touched) {
+                if (q != p && counts[q] > best_c && sizes[q] + w_i <= cap) {
+                    best = q;
+                    best_c = counts[q];
+                }
+            }
+            for (int32_t q : touched) counts[q] = 0.0f;
+            if (best != p) {
+                part[i] = best;
+                sizes[p] -= w_i;
+                sizes[best] += w_i;
+                moved++;
+            }
+        }
+        total_moved += moved;
+        if (moved == 0) break;
+    }
+    return total_moved;
+}
+
+// --- Heavy-edge matching (multilevel coarsening) --------------------------
+
+// Visit nodes in random order; match each unmatched node with its
+// heaviest-edge unmatched neighbor. partner[i] = matched peer (or i).
+// Returns the number of matched pairs.
+int64_t gg_hem_match(int32_t n, const int32_t* indptr,
+                     const int32_t* indices, const float* weights,
+                     uint64_t seed, int32_t* partner) {
+    for (int32_t i = 0; i < n; ++i) partner[i] = -1;
+    std::vector<int32_t> order(n);
+    for (int32_t i = 0; i < n; ++i) order[i] = i;
+    uint64_t s = seed ? seed : 0x9e3779b97f4a7c15ull;
+    auto next = [&s]() {
+        s ^= s << 13; s ^= s >> 7; s ^= s << 17;
+        return s;
+    };
+    for (int32_t i = n - 1; i > 0; --i)
+        std::swap(order[i], order[next() % (i + 1)]);
+    int64_t pairs = 0;
+    for (int32_t k = 0; k < n; ++k) {
+        int32_t i = order[k];
+        if (partner[i] != -1) continue;
+        int32_t best = -1;
+        float best_w = -1.0f;
+        for (int32_t e = indptr[i]; e < indptr[i + 1]; ++e) {
+            int32_t j = indices[e];
+            if (j == i || partner[j] != -1) continue;
+            float w = weights ? weights[e] : 1.0f;
+            if (w > best_w) {
+                best_w = w;
+                best = j;
+            }
+        }
+        if (best != -1) {
+            partner[i] = best;
+            partner[best] = i;
+            pairs++;
+        } else {
+            partner[i] = i;
+        }
+    }
+    return pairs;
+}
+
 }  // extern "C"

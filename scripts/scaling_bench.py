@@ -1,0 +1,200 @@
+"""Scaling harness: halo-distributed GGAD step vs device count.
+
+Measures, per device count D:
+  * the halo plan's comm volume (exact, host-side): boundary width B,
+    bytes/step on the wire per device for the 3 SpMMs + affinity of one
+    fwd+bwd GGAD step, vs the all-gather schedule's bytes;
+  * (``--time``) the wall-clock of the jitted halo training step on the
+    available mesh — absolute on a real TPU (D=1 here), shape-only on
+    the virtual CPU mesh (virtual devices share 2 host cores, so CPU
+    wall-clock is NOT a scaling signal — the comm table is);
+  * a projected step time on a D-chip slice from the measured 1-chip
+    compute rate + comm_bytes/ICI bandwidth (``--ici_gbps``).
+
+Usage:
+  env -u PALLAS_AXON_POOL_IPS JAX_PLATFORMS=cpu \
+    XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+    python scripts/scaling_bench.py --devices 1,2,4,8 --time
+  python scripts/scaling_bench.py --devices 1 --time          # real TPU
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+
+def build_graph(args):
+    from ggad_tpu.datasets.synthetic import synthetic_gad
+    return synthetic_gad(
+        name="scaling", n_nodes=args.n_nodes, avg_degree=args.avg_degree,
+        feat_dim=args.feat_dim, n_communities=args.n_communities,
+        intra_frac=args.intra_frac, anomaly_rate=0.09, seed=0,
+        seed_frac=0.15)
+
+
+def comm_row(ds, d, n_h, reorder=False):
+    from ggad_tpu.graph import from_scipy
+    from ggad_tpu.ops.normalize import normalize_adj_reference
+    from ggad_tpu.parallel.spmm_shard import (
+        build_halo_plan,
+        halo_comm_stats,
+        partition_edges,
+    )
+
+    adj, raw = normalize_adj_reference(from_scipy(ds.adj))
+    part = partition_edges(adj, d)
+    plan = build_halo_plan(part)
+    raw_plan = build_halo_plan(partition_edges(raw, d))
+    s = halo_comm_stats(plan, n_h)
+    sr = halo_comm_stats(raw_plan, n_h)
+    # one GGAD step: gcn1+gcn2+generator SpMMs (fwd + transposed bwd each)
+    # on adj, affinity fwd+bwd on raw
+    step_bytes = 6 * s["spmm_halo_bytes"] + 2 * sr["affinity_halo_bytes"]
+    allgather_bytes = 8 * s["allgather_bytes"]
+    return {
+        "devices": d,
+        "boundary_rows": s["boundary_rows"],
+        "boundary_frac_of_N": round(s["boundary_rows"] / ds.n_nodes, 4),
+        "halo_step_MB_per_device": round(step_bytes / 2**20, 2),
+        "allgather_step_MB_per_device": round(allgather_bytes / 2**20, 2),
+        "comm_reduction_x": round(allgather_bytes / max(step_bytes, 1), 1),
+    }
+
+
+def time_step(ds, d, n_h, iters=10, spmm_impl="xla",
+              spmm_dtype="float32"):
+    """Median paired-difference step time of the jitted, scan-fused halo
+    training step: (T(2K-step scan) − T(K-step scan)) / K cancels the
+    per-dispatch tunnel/host overhead (same estimator as bench.py)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from ggad_tpu.graph import from_scipy
+    from ggad_tpu.models.ggad import GGAD
+    from ggad_tpu.ops.normalize import normalize_adj_reference
+    from ggad_tpu.parallel.full_batch import replicate
+    from ggad_tpu.parallel.halo_trainer import (
+        make_halo_train_step,
+        prepare_halo,
+    )
+    from ggad_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(d, axis_names=("nodes",))
+    setup = prepare_halo(ds, mesh, spmm_impl=spmm_impl,
+                         spmm_dtype=spmm_dtype)
+    adj, _ = normalize_adj_reference(from_scipy(ds.adj))
+    model = GGAD(n_h=n_h, noise_mean=0.02, noise_std=0.01)
+    rng = jax.random.PRNGKey(0)
+    params = replicate(model.init(
+        {"params": rng, "noise": rng}, adj,
+        jnp.asarray(ds.features, jnp.float32), setup.seed_idx,
+        setup.normal_idx, train=True), mesh)
+    tx = optax.adam(1e-3)
+    opt_state = replicate(tx.init(params), mesh)
+    steps = {k: make_halo_train_step(tx, mesh, noise_mean=0.02,
+                                     noise_std=0.01, n_h=n_h, n_steps=k)
+             for k in (iters, 2 * iters)}
+
+    def dispatch(params, opt_state, rng, k):
+        rng, key = jax.random.split(rng)
+        t0 = time.perf_counter()
+        params, opt_state, losses = steps[k](
+            params, opt_state, key, setup.part, setup.plan,
+            setup.raw_part, setup.raw_plan, setup.x_pad, setup.seed_idx,
+            setup.normal_idx, setup.tiles)
+        jax.block_until_ready(losses.total)
+        return params, opt_state, rng, time.perf_counter() - t0
+
+    for k in (iters, 2 * iters):   # compile both
+        params, opt_state, rng, _ = dispatch(params, opt_state, rng, k)
+    est = []
+    for _ in range(3):
+        params, opt_state, rng, t1 = dispatch(params, opt_state, rng,
+                                              iters)
+        params, opt_state, rng, t2 = dispatch(params, opt_state, rng,
+                                              2 * iters)
+        est.append(max((t2 - t1) / iters, 1e-9))
+    return statistics.median(est)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--devices", type=str, default="1,2,4,8")
+    ap.add_argument("--n_nodes", type=int, default=7535)
+    ap.add_argument("--avg_degree", type=int, default=31)
+    ap.add_argument("--feat_dim", type=int, default=745)
+    ap.add_argument("--n_communities", type=int, default=8)
+    ap.add_argument("--intra_frac", type=float, default=0.9,
+                    help="intra-community edge fraction of the synthetic "
+                         "graph (locality knob)")
+    ap.add_argument("--n_h", type=int, default=300)
+    ap.add_argument("--time", action="store_true",
+                    help="also wall-clock the jitted step per D")
+    ap.add_argument("--reorder", action="store_true",
+                    help="RCM-reorder nodes first (aligns row-blocks "
+                         "with graph locality; shrinks the boundary)")
+    ap.add_argument("--partition", action="store_true",
+                    help="LP-partition nodes into max(devices) contiguous "
+                         "blocks first (the halo path's partitioner)")
+    ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--ici_gbps", type=float, default=100.0,
+                    help="assumed per-chip ICI bandwidth for projection")
+    ap.add_argument("--compute_ms_1chip", type=float, default=None,
+                    help="measured 1-chip step ms for the projection "
+                         "(defaults to the timed D=1 run)")
+    ap.add_argument("--spmm_impl", type=str, default="xla",
+                    choices=["xla", "pallas"],
+                    help="local SpMM inside the halo step")
+    ap.add_argument("--spmm_dtype", type=str, default="float32",
+                    choices=["float32", "bfloat16"])
+    args = ap.parse_args()
+
+    import jax
+
+    ds = build_graph(args)
+    if args.reorder:
+        from ggad_tpu.datasets.reorder import reorder_rcm
+        ds = reorder_rcm(ds)
+    devices = [int(x) for x in args.devices.split(",")]
+    if args.partition:
+        from ggad_tpu.datasets.partition import reorder_lp
+        ds = reorder_lp(ds, max(devices))
+    rows = []
+    t1 = args.compute_ms_1chip
+    for d in devices:
+        row = comm_row(ds, d, args.n_h)
+        if args.time and d <= len(jax.devices()):
+            row["step_ms_measured"] = round(
+                time_step(ds, d, args.n_h, args.iters,
+                          args.spmm_impl, args.spmm_dtype) * 1e3, 2)
+            if d == 1 and t1 is None:
+                t1 = row["step_ms_measured"]
+        if t1 is not None and d > 1:
+            comm_ms = (row["halo_step_MB_per_device"] / 2**10
+                       / args.ici_gbps) * 1e3
+            row["step_ms_projected"] = round(t1 / d + comm_ms, 2)
+            row["scaling_eff_projected"] = round(
+                t1 / d / (t1 / d + comm_ms), 3)
+        rows.append(row)
+        print(json.dumps(row))
+
+    print(json.dumps({
+        "graph": f"{ds.n_nodes}N/{ds.n_edges}E/{args.feat_dim}F",
+        "n_h": args.n_h,
+        "backend": jax.default_backend(),
+        "rows": rows,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -209,6 +209,58 @@ def test_halo_comm_volume(mesh):
                                rtol=1e-4, atol=1e-5)
 
 
+def test_spmm_halo_bcsr_matches_single_device(mesh, rng):
+    """Sharded Pallas path: boundary exchange + per-shard BCSR tiles."""
+    from ggad_tpu.graph import add_self_loops
+    from ggad_tpu.parallel.spmm_shard import (
+        build_halo_bcsr,
+        place_halo_bcsr,
+        spmm_halo_bcsr,
+    )
+
+    g = add_self_loops(from_scipy(random_graph(200, seed=5)))
+    part = partition_edges(g, 8)
+    plan = build_halo_plan(part)
+    tiles = place_halo_bcsr(build_halo_bcsr(part, plan), mesh)
+    part = place_partition(part, mesh)
+    plan = place_halo_plan(plan, mesh)
+    x = rng.normal(size=(200, 24)).astype(np.float32)
+    xp = pad_nodes(jnp.asarray(x), part)
+
+    out = np.asarray(spmm_halo_bcsr(part, plan, tiles, xp, mesh))[:200]
+    expect = np.asarray(spmm(g, jnp.asarray(x)))
+    np.testing.assert_allclose(out, expect, rtol=1e-4, atol=1e-4)
+
+
+def test_spmm_halo_bcsr_grad(mesh, rng):
+    from ggad_tpu.graph import add_self_loops
+    from ggad_tpu.parallel.spmm_shard import (
+        build_halo_bcsr,
+        place_halo_bcsr,
+        spmm_halo_bcsr,
+    )
+
+    g = add_self_loops(from_scipy(random_graph(96, seed=6)))
+    part = partition_edges(g, 8)
+    plan = build_halo_plan(part)
+    tiles = place_halo_bcsr(build_halo_bcsr(part, plan), mesh)
+    part = place_partition(part, mesh)
+    plan = place_halo_plan(plan, mesh)
+    x = jnp.asarray(rng.normal(size=(96, 8)).astype(np.float32))
+
+    def f_bcsr(x):
+        return jnp.sum(
+            spmm_halo_bcsr(part, plan, tiles, pad_nodes(x, part),
+                           mesh) ** 2)
+
+    def f_single(x):
+        return jnp.sum(spmm(g, x) ** 2)
+
+    g_b = np.asarray(jax.grad(f_bcsr)(x))
+    g_s = np.asarray(jax.grad(f_single)(x))
+    np.testing.assert_allclose(g_b, g_s, rtol=1e-4, atol=1e-4)
+
+
 def test_halo_ggad_losses_match_flax(mesh):
     """The halo-distributed GGAD forward+losses must equal the
     single-device flax model + ggad_losses, same params, term by term
@@ -246,6 +298,41 @@ def test_halo_ggad_losses_match_flax(mesh):
         np.testing.assert_allclose(
             float(getattr(got, field)), float(getattr(ref, field)),
             rtol=1e-4, atol=1e-5, err_msg=field)
+
+
+def test_halo_ggad_losses_match_flax_pallas_tiles(mesh):
+    """Same equality with the per-shard BCSR (Pallas) local SpMMs."""
+    from ggad_tpu.models.ggad import GGAD
+    from ggad_tpu.ops.normalize import normalize_adj_reference
+    from ggad_tpu.parallel.halo_trainer import (
+        halo_ggad_forward_and_losses,
+        prepare_halo,
+    )
+    from ggad_tpu.train.losses import ggad_losses
+
+    ds = synthetic_gad(n_nodes=200, avg_degree=8, feat_dim=16, seed=1)
+    adj, raw = normalize_adj_reference(from_scipy(ds.adj))
+    x = jnp.asarray(ds.features, jnp.float32)
+    si = jnp.asarray(ds.abnormal_label_idx, jnp.int32)
+    ni = jnp.asarray(ds.normal_label_idx, jnp.int32)
+
+    model = GGAD(n_h=24, noise_mean=0.02, noise_std=0.0)
+    k = jax.random.PRNGKey(0)
+    params = model.init({"params": k, "noise": k}, adj, x, si, ni,
+                        train=True)
+    out = model.apply(params, adj, x, si, ni, train=True,
+                      rngs={"noise": jax.random.PRNGKey(2)})
+    ref = ggad_losses(out, raw, si, ni)
+
+    setup = prepare_halo(ds, mesh, spmm_impl="pallas")
+    assert setup.tiles is not None
+    noise = jnp.full((si.shape[0], 24), 0.02, jnp.float32)
+    got = halo_ggad_forward_and_losses(
+        params, setup.part, setup.plan, setup.x_pad, setup.seed_idx,
+        setup.normal_idx, noise, setup.raw_part, setup.raw_plan, mesh,
+        tiles=setup.tiles)
+    np.testing.assert_allclose(float(got.total), float(ref.total),
+                               rtol=1e-4, atol=1e-5)
 
 
 def test_halo_training_device_count_invariant(mesh):
