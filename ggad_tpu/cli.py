@@ -51,6 +51,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--aegis_faithful", action="store_true",
                    help="reproduce the reference AEGIS driver's effective "
                         "behavior, bugs included (model_AEGIS.py:240)")
+    p.add_argument("--dp_devices", type=int, default=None,
+                   help="data-parallel device count for ggad-minibatch "
+                        "(batch axis shards over the mesh)")
     return p
 
 

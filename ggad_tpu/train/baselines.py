@@ -469,7 +469,8 @@ def run_minibatch_model(name: str, ds: GADDataset, args) -> dict:
             idx_train=idx_train, idx_anomaly=idx_anom,
             idx_valid=idx_valid, idx_test=idx_test,
             num_epochs=args.num_epoch or 30,
-            checkpoint_dir=args.checkpoint_dir)
+            checkpoint_dir=args.checkpoint_dir,
+            mesh=getattr(args, "dp_devices", None))
         res = tr.train(verbose=True)
         out = {"model": name, "dataset": ds.name,
                "best_val_auc": res.best_val_auc,

@@ -78,10 +78,37 @@ class MiniBatchTrainer:
     eval_batch: int = 1024
     logger: Optional[Any] = None
     checkpoint_dir: Optional[str] = None
+    mesh: Optional[Any] = None    # jax Mesh (or device count) → data-
+                                  # parallel batch-axis sharding (GSPMD)
 
     def __post_init__(self):
         self.table = NeighborTable.from_scipy(self.adj)
         self.feats = jnp.asarray(self.features, jnp.float32)
+        self._batch_sh = self._repl = None
+        if self.mesh is not None:
+            # DP: the batch axis shards over the mesh; feature/neighbor
+            # tables and params replicate. GSPMD partitions the jitted
+            # step along the batch dimension and inserts the loss/grad
+            # all-reduces — semantics identical to single-device.
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from ggad_tpu.parallel.mesh import make_mesh
+
+            if not hasattr(self.mesh, "devices"):
+                self.mesh = make_mesh(int(self.mesh),
+                                      axis_names=("batch",))
+            n_dev = self.mesh.devices.size
+            b_total = self.batch_size + self.n_anom_per_batch
+            if b_total % n_dev or self.eval_batch % n_dev:
+                raise ValueError(
+                    f"batch sizes ({b_total}, eval {self.eval_batch}) "
+                    f"must divide the mesh size {n_dev}")
+            axis = self.mesh.axis_names[0]
+            self._batch_sh = NamedSharding(self.mesh, P(None, axis))
+            self._repl = NamedSharding(self.mesh, P())
+            self.feats = jax.device_put(self.feats, self._repl)
+            self.table = jax.tree.map(
+                lambda a: jax.device_put(a, self._repl), self.table)
         self.model = MiniBatchGGAD(emb_dim=self.emb_dim,
                                    fanout1=self.fanout1,
                                    fanout2=self.fanout2)
@@ -115,7 +142,19 @@ class MiniBatchTrainer:
         params = self.model.init({"params": p_rng, "sample": s_rng},
                                  self.feats, self.table, batch,
                                  self.n_anom_per_batch, True)
-        return params, self.tx.init(params)
+        opt_state = self.tx.init(params)
+        if self._repl is not None:
+            params = jax.tree.map(
+                lambda a: jax.device_put(a, self._repl), params)
+            opt_state = jax.tree.map(
+                lambda a: jax.device_put(a, self._repl), opt_state)
+        return params, opt_state
+
+    def _shard_batches(self, batches: jax.Array) -> jax.Array:
+        """Place a [C, B] id block batch-axis-sharded when DP is on."""
+        if self._batch_sh is not None:
+            return jax.device_put(batches, self._batch_sh)
+        return batches
 
     def _train_step_impl(self, params, opt_state, batch, rng, feats,
                          table):
@@ -176,7 +215,9 @@ class MiniBatchTrainer:
         padded = np.zeros(n_chunks * bs, np.int64)
         padded[:n] = node_ids
         probs = np.asarray(self._eval_many(
-            params, jnp.asarray(padded.reshape(n_chunks, bs), jnp.int32),
+            params,
+            self._shard_batches(
+                jnp.asarray(padded.reshape(n_chunks, bs), jnp.int32)),
             rng, self.feats, self.table))
         return probs.reshape(-1)[:n]
 
@@ -222,8 +263,8 @@ class MiniBatchTrainer:
                 self._anom_pool,
                 size=(self.num_batches, self.n_anom_per_batch),
                 replace=True)
-            batches = jnp.asarray(
-                np.concatenate([train_ids, anom_ids], axis=1), jnp.int32)
+            batches = self._shard_batches(jnp.asarray(
+                np.concatenate([train_ids, anom_ids], axis=1), jnp.int32))
             rng, step_rng = jax.random.split(rng)
             params, opt_state, losses = self._train_epoch(
                 params, opt_state, batches, step_rng, self.feats,

@@ -347,6 +347,31 @@ def test_halo_training_device_count_invariant(mesh):
     assert float(l8.total) == pytest.approx(float(l2.total), rel=1e-4)
 
 
+def test_minibatch_trainer_dp_matches_single_device(mesh):
+    """MiniBatchTrainer(mesh=8) must follow the single-device loss
+    trajectory (GSPMD batch-axis DP is semantics-preserving)."""
+    from ggad_tpu.datasets.splits import minibatch_split
+    from ggad_tpu.train.minibatch import MiniBatchTrainer
+
+    ds = synthetic_gad(n_nodes=800, avg_degree=8, feat_dim=12, seed=2)
+    adj = ds.adj + sp.eye(ds.n_nodes, format="csr", dtype=np.float32)
+    idx_train, idx_valid, idx_test, labels, idx_anom = minibatch_split(
+        ds.ano_labels, seed=0, pseudo_anomaly_frac=0.1)
+    kwargs = dict(
+        adj=adj, features=ds.features, labels=labels,
+        idx_train=idx_train, idx_anomaly=idx_anom, idx_valid=idx_valid,
+        idx_test=idx_test, emb_dim=16, fanout1=4, fanout2=3,
+        batch_size=24, n_anom_per_batch=8, num_batches=4, num_epochs=2,
+        valid_epochs=1, eval_batch=32, seed=0)
+
+    res_1 = MiniBatchTrainer(**kwargs).train()
+    res_8 = MiniBatchTrainer(**kwargs, mesh=8).train()
+    for r1, r8 in zip(res_1.history, res_8.history):
+        assert r1["loss"] == pytest.approx(r8["loss"], rel=2e-4)
+    assert res_1.test_metrics["auc"] == pytest.approx(
+        res_8.test_metrics["auc"], abs=1e-3)
+
+
 def test_gspmd_sharded_training_step(mesh):
     """The GSPMD full-batch GGAD step runs and is device-count invariant."""
     from ggad_tpu.parallel.full_batch import sharded_train_step
