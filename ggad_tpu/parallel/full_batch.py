@@ -52,6 +52,72 @@ def replicate(x, mesh: Mesh):
     return jax.tree.map(lambda a: jax.device_put(a, sh), x)
 
 
+def shard_params_2d(params, mesh: Mesh, axis: str = "model"):
+    """Tensor-parallel parameter placement: 2-D weight kernels shard
+    their OUTPUT feature dim over ``axis`` (when divisible), 1-D biases
+    likewise; everything else (PReLU alphas, scalar heads) replicates.
+
+    NB at the reference's widths (n_h = 300, features ≤ 745) TP is a
+    capability, not a win: the largest weight is 745×300 f32 ≈ 0.9 MB,
+    so sharding saves <1 MB/device while adding an all-reduce per layer
+    — see docs/TRACEABILITY.md (TP row) for the arithmetic. The same
+    placement pays at transformer-scale widths.
+    """
+    import flax
+
+    m = dict(mesh.shape)[axis]
+    flat = flax.traverse_util.flatten_dict(params)
+    out = {}
+    for k, v in flat.items():
+        if v.ndim >= 1 and v.shape[-1] % m == 0 and v.shape[-1] >= m:
+            spec = P(*([None] * (v.ndim - 1) + [axis]))
+        else:
+            spec = P()
+        out[k] = jax.device_put(v, NamedSharding(mesh, spec))
+    return flax.traverse_util.unflatten_dict(out)
+
+
+def sharded_train_step_2d(mesh: Mesh, dataset, *, n_h: int = 64,
+                          lr: float = 1e-3, seed: int = 0,
+                          n_steps: int = 1):
+    """GGAD training on a 2-D ('nodes', 'model') mesh: node/edge arrays
+    shard over 'nodes', weight/embedding feature dims over 'model'
+    (GSPMD inserts the matmul collectives). Returns the final loss."""
+    from ggad_tpu.graph import from_scipy
+    from ggad_tpu.ops.normalize import normalize_adj_reference
+
+    g = from_scipy(dataset.adj)
+    adj, raw_adj = normalize_adj_reference(g)
+    adj = shard_graph(adj, mesh, axis="nodes")
+    raw_adj = shard_graph(raw_adj, mesh, axis="nodes")
+    features = jax.device_put(
+        jnp.asarray(dataset.features, jnp.float32),
+        NamedSharding(mesh, P("nodes", None)))
+    seed_idx = replicate(jnp.asarray(dataset.abnormal_label_idx,
+                                     jnp.int32), mesh)
+    normal_idx = replicate(jnp.asarray(dataset.normal_label_idx,
+                                       jnp.int32), mesh)
+
+    model = GGAD(n_h=n_h, noise_mean=0.02, noise_std=0.01)
+    tx = optax.adam(lr)
+    rng = jax.random.PRNGKey(seed)
+    rng, init_rng, noise_rng = jax.random.split(rng, 3)
+    params = model.init({"params": init_rng, "noise": noise_rng},
+                        adj, features, seed_idx, normal_idx, train=True)
+    params = shard_params_2d(params, mesh)
+    opt_state = jax.tree.map(
+        lambda a: a, tx.init(params))  # inherits param shardings
+
+    step = make_sharded_train_step(model, tx, adj, raw_adj, features,
+                                   seed_idx, normal_idx)
+    losses = None
+    for _ in range(n_steps):
+        rng, step_rng = jax.random.split(rng)
+        params, opt_state, losses = step(params, opt_state, step_rng)
+    jax.block_until_ready(losses.total)
+    return float(losses.total)
+
+
 def make_sharded_train_step(
     model: GGAD,
     tx: optax.GradientTransformation,

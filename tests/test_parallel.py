@@ -383,6 +383,25 @@ def test_gspmd_sharded_training_step(mesh):
     assert loss8 == pytest.approx(loss2, rel=1e-4)
 
 
+def test_tensor_parallel_2d_mesh_matches_1d(mesh):
+    """2-D ('nodes','model') TP mesh must give the same loss as the 1-D
+    node mesh (GSPMD is semantics-preserving under resharding)."""
+    from jax.sharding import Mesh
+
+    from ggad_tpu.parallel.full_batch import (
+        sharded_train_step,
+        sharded_train_step_2d,
+    )
+
+    ds = synthetic_gad(n_nodes=256, avg_degree=8, feat_dim=16, seed=0)
+    devs = np.asarray(jax.devices()[:8]).reshape(4, 2)
+    mesh2d = Mesh(devs, axis_names=("nodes", "model"))
+    loss_2d = sharded_train_step_2d(mesh2d, ds, n_h=32, n_steps=2)
+    loss_1d = sharded_train_step(make_mesh(8), ds, n_h=32, n_steps=2)
+    assert np.isfinite(loss_2d)
+    assert loss_2d == pytest.approx(loss_1d, rel=1e-4)
+
+
 def test_dryrun_multichip_entrypoint():
     import sys
 
