@@ -54,6 +54,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--dp_devices", type=int, default=None,
                    help="data-parallel device count for ggad-minibatch "
                         "(batch axis shards over the mesh)")
+    p.add_argument("--mesh_devices", type=int, default=None,
+                   help="device count for distributed full-batch ggad "
+                        "(edge-partitioned halo exchange)")
+    p.add_argument("--dist_impl", type=str, default="halo",
+                   choices=["halo", "gspmd"],
+                   help="multi-device schedule for --mesh_devices")
     return p
 
 
@@ -98,6 +104,8 @@ def main(argv=None) -> int:
             scan_steps=args.scan_steps,
             checkpoint_dir=args.checkpoint_dir,
             logger=logger.log if logger else None,
+            mesh=args.mesh_devices,
+            dist_impl=args.dist_impl,
         )
         res = trainer.train(verbose=True)
         print(json.dumps({"dataset": ds.name, "model": "ggad",

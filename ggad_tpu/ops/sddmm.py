@@ -36,9 +36,12 @@ def l2_normalize_rows(x: jax.Array) -> jax.Array:
     Reference (``run.py:177-180``): norm⁻¹ with infinities (zero rows)
     replaced by 0, so zero rows stay zero.
     """
-    norm = jnp.linalg.norm(x, axis=-1, keepdims=True)
-    inv = jnp.where(norm > 0, 1.0 / norm, 0.0)
-    return x * inv
+    # the zero-guard must sit INSIDE the sqrt: sqrt'(0) = inf would NaN
+    # the gradient of zero rows (0 · inf) even when the result is masked
+    sq = jnp.sum(jnp.square(x), axis=-1, keepdims=True)
+    pos = sq > 0
+    norm = jnp.sqrt(jnp.where(pos, sq, 1.0))
+    return x * jnp.where(pos, 1.0 / norm, 0.0)
 
 
 def edge_cosine(g: Graph, emb: jax.Array) -> jax.Array:

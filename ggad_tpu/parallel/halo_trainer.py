@@ -122,6 +122,36 @@ def halo_ggad_forward_and_losses(
                       aff_normal, aff_outlier)
 
 
+def halo_ggad_eval_scores(
+    params: Any,
+    part: EdgePartition,
+    plan: HaloPlan,
+    x_pad: jax.Array,
+    mesh: Mesh,
+    axis: str = "nodes",
+    tiles: HaloBCSR | None = None,
+) -> jax.Array:
+    """Eval-mode forward: one-class logits for ALL nodes ([N_pad])
+    (reference ``model.py:184-188``)."""
+    pr = params["params"]
+
+    def halo_mm(h):
+        if tiles is not None:
+            return spmm_halo_bcsr(part, plan, tiles, h, mesh, axis)
+        return spmm_halo(part, plan, h, mesh, axis)
+
+    def gcn(name, h):
+        hw = jnp.dot(h, pr[name]["fc"]["kernel"],
+                     preferred_element_type=jnp.float32)
+        agg = halo_mm(hw) + pr[name]["bias"]
+        return _prelu(agg, pr[name]["prelu"]["alpha"])
+
+    emb = gcn("gcn2", gcn("gcn1", x_pad))
+    h = jax.nn.relu(emb @ pr["head"]["fc1"]["kernel"])
+    h = jax.nn.relu(h @ pr["head"]["fc2"]["kernel"])
+    return (h @ pr["head"]["fc3"]["kernel"])[:, 0]
+
+
 def make_halo_train_step(
     tx: optax.GradientTransformation,
     mesh: Mesh,

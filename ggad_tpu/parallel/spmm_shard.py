@@ -390,8 +390,12 @@ def affinity_halo(part: EdgePartition, plan: HaloPlan, emb: jax.Array,
     D, B, R = plan.n_shards, plan.boundary, plan.rows_per_shard
 
     def local(send_idx, col_remap, row_local, val, den_local, emb_local):
-        norm = jnp.linalg.norm(emb_local, axis=-1, keepdims=True)
-        emb_n = emb_local * jnp.where(norm > 0, 1.0 / norm, 0.0)
+        # guard inside the sqrt: zero rows (node padding) must not NaN
+        # the gradient (sqrt'(0) = inf, and 0·inf = NaN in the VJP)
+        sq = jnp.sum(jnp.square(emb_local), axis=-1, keepdims=True)
+        pos = sq > 0
+        nrm = jnp.sqrt(jnp.where(pos, sq, 1.0))
+        emb_n = emb_local * jnp.where(pos, 1.0 / nrm, 0.0)
         send = emb_n[send_idx.reshape(D, B)]
         recv = jax.lax.all_to_all(send, axis, 0, 0, tiled=True)
         buf = jnp.concatenate([recv.reshape(D * B, -1), emb_n], axis=0)
@@ -429,8 +433,10 @@ def affinity_sharded(part: EdgePartition, emb: jax.Array, mesh: Mesh,
 
     def local(row_local, col, val, emb_local):
         emb_full = jax.lax.all_gather(emb_local, axis, tiled=True)
-        norm = jnp.linalg.norm(emb_full, axis=-1, keepdims=True)
-        emb_n = emb_full * jnp.where(norm > 0, 1.0 / norm, 0.0)
+        sq = jnp.sum(jnp.square(emb_full), axis=-1, keepdims=True)
+        pos = sq > 0
+        nrm = jnp.sqrt(jnp.where(pos, sq, 1.0))
+        emb_n = emb_full * jnp.where(pos, 1.0 / nrm, 0.0)
         my = jax.lax.axis_index(axis)
         row_global = row_local + my * part.rows_per_shard
         cos = jnp.einsum("ed,ed->e", emb_n[row_global], emb_n[col]) * val

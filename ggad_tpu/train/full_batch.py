@@ -93,8 +93,11 @@ class FullBatchTrainer:
     scan_steps: int = 1            # steps fused per dispatch (lax.scan)
     checkpoint_dir: Optional[str] = None
     profile_dir: Optional[str] = None  # jax.profiler trace of steps 2..4
-    mesh: Optional[Any] = None     # jax Mesh (or device count) → GSPMD
-                                   # node/edge-partitioned training
+    mesh: Optional[Any] = None     # jax Mesh (or device count) →
+                                   # multi-device training
+    dist_impl: str = "halo"        # "halo": explicit boundary-exchange
+                                   # collectives (keeps Pallas kernels);
+                                   # "gspmd": auto-partitioned (XLA ops)
 
     def __post_init__(self):
         ds = self.dataset
@@ -108,14 +111,17 @@ class FullBatchTrainer:
 
         graph = from_scipy(ds.adj)
         self.adj, self.raw_adj = normalize_adj_reference(graph)
+        self._halo = None
         if self.mesh is not None:
-            # multi-device GSPMD: node/edge-partitioned arrays; the BCSR
-            # Pallas kernels are single-device, so force the XLA op path.
             from ggad_tpu.parallel.mesh import make_mesh
 
             if not hasattr(self.mesh, "devices"):
                 self.mesh = make_mesh(int(self.mesh),
                                       axis_names=("nodes",))
+            if self.dist_impl == "halo":
+                return self._post_init_halo()
+            # GSPMD fallback: auto-partitioned arrays; the BCSR Pallas
+            # kernels can't ride GSPMD, so force the XLA op path.
             self.spmm_impl = "xla"
         self.adj = maybe_bcsr(self.adj, self.spmm_impl,
                               dtype=self.spmm_dtype)
@@ -153,6 +159,72 @@ class FullBatchTrainer:
                                    donate_argnums=(0, 1),
                                    static_argnums=(8,))
         self._eval_scores = jax.jit(self._eval_scores_impl)
+
+    # -- halo (explicit boundary-exchange) multi-device mode -----------
+    def _post_init_halo(self):
+        """mesh + dist_impl='halo': edge-partitioned training with one
+        boundary all_to_all per SpMM, per-shard Pallas BCSR tiles when
+        ``spmm_impl`` is 'pallas'/'auto' on TPU. Step signatures mirror
+        the single-device path (self.adj/raw_adj/features hold the
+        partition pytrees), so train()/evaluate() are shared."""
+        from ggad_tpu.parallel.halo_trainer import (
+            halo_ggad_eval_scores,
+            make_halo_train_step,
+            prepare_halo,
+        )
+
+        ds = self.dataset
+        use_pallas = (self.spmm_impl == "pallas"
+                      or (self.spmm_impl == "auto"
+                          and jax.default_backend() == "tpu"))
+        setup = prepare_halo(
+            ds, self.mesh,
+            spmm_impl="pallas" if use_pallas else "xla",
+            spmm_dtype=self.spmm_dtype)
+        self._halo = setup
+        self.model = GGAD(n_h=self.embedding_dim,
+                          noise_mean=self.noise_mean,
+                          noise_std=self.noise_std, spmm_impl="xla")
+        self.tx = optax.adamw(self.lr, weight_decay=self.weight_decay) \
+            if self.weight_decay else optax.adam(self.lr)
+        self.features = setup.x_pad
+        self.seed_idx = setup.seed_idx
+        self.normal_idx = setup.normal_idx
+
+        common = dict(noise_mean=self.noise_mean,
+                      noise_std=self.noise_std, n_h=self.embedding_dim,
+                      confidence_margin=self.confidence_margin,
+                      pos_weight=self.pos_weight)
+        step1 = make_halo_train_step(self.tx, self.mesh, **common)
+        scans: dict = {}
+
+        def train_step(params, opt_state, rng, adj, raw_adj, features,
+                       seed_idx, normal_idx):
+            return step1(params, opt_state, rng, setup.part, setup.plan,
+                         setup.raw_part, setup.raw_plan, features,
+                         seed_idx, normal_idx, setup.tiles)
+
+        def train_scan(params, opt_state, rng, adj, raw_adj, features,
+                       seed_idx, normal_idx, n_steps):
+            if n_steps not in scans:
+                scans[n_steps] = make_halo_train_step(
+                    self.tx, self.mesh, n_steps=n_steps, **common)
+            return scans[n_steps](
+                params, opt_state, rng, setup.part, setup.plan,
+                setup.raw_part, setup.raw_plan, features, seed_idx,
+                normal_idx, setup.tiles)
+
+        eval_jit = jax.jit(lambda params, x_pad: halo_ggad_eval_scores(
+            params, setup.part, setup.plan, x_pad, self.mesh,
+            tiles=setup.tiles))
+
+        def eval_scores(params, rng, adj, features, seed_idx,
+                        normal_idx):
+            return eval_jit(params, features)[: ds.n_nodes]
+
+        self._train_step = train_step
+        self._train_scan = train_scan
+        self._eval_scores = eval_scores
 
     # ------------------------------------------------------------------
     def init(self, rng: jax.Array):

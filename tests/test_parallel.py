@@ -347,6 +347,40 @@ def test_halo_training_device_count_invariant(mesh):
     assert float(l8.total) == pytest.approx(float(l2.total), rel=1e-4)
 
 
+def test_fullbatch_trainer_halo_mesh_matches_single_device(mesh):
+    """FullBatchTrainer(mesh=8, dist_impl='halo') follows the
+    single-device trajectory exactly when the noise is deterministic
+    (std=0 → perturbation == mean on both paths)."""
+    from ggad_tpu.train.full_batch import FullBatchTrainer
+
+    ds = synthetic_gad(n_nodes=300, avg_degree=8, feat_dim=16, seed=4)
+    kwargs = dict(num_epoch=6, embedding_dim=24, noise_mean=0.02,
+                  noise_std=0.0, eval_every=3, log_every=2, seed=0)
+    res_1 = FullBatchTrainer(ds, spmm_impl="xla", **kwargs).train()
+    res_h = FullBatchTrainer(ds, mesh=8, dist_impl="halo",
+                             spmm_impl="xla", **kwargs).train()
+    l1 = [r["loss"] for r in res_1.history if "loss" in r]
+    lh = [r["loss"] for r in res_h.history if "loss" in r]
+    np.testing.assert_allclose(lh, l1, rtol=2e-4)
+    assert res_h.final_auc == pytest.approx(res_1.final_auc, abs=1e-3)
+
+
+def test_fullbatch_trainer_halo_mesh_pallas(mesh):
+    """The mesh trainer with per-shard BCSR tiles trains and scores."""
+    from ggad_tpu.train.full_batch import FullBatchTrainer
+
+    ds = synthetic_gad(n_nodes=300, avg_degree=8, feat_dim=16, seed=4)
+    tr = FullBatchTrainer(ds, mesh=8, dist_impl="halo",
+                          spmm_impl="pallas", num_epoch=3,
+                          embedding_dim=24, noise_mean=0.02,
+                          noise_std=0.01, eval_every=2, seed=0)
+    assert tr._halo is not None and tr._halo.tiles is not None
+    res = tr.train()
+    assert np.isfinite(res.final_auc)
+    assert all(np.isfinite(r["loss"]) for r in res.history
+               if "loss" in r)
+
+
 def test_minibatch_trainer_dp_matches_single_device(mesh):
     """MiniBatchTrainer(mesh=8) must follow the single-device loss
     trajectory (GSPMD batch-axis DP is semantics-preserving)."""
