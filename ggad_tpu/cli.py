@@ -34,6 +34,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--synthetic_scale", type=float, default=1.0,
                    help="scale factor when falling back to synthetic data")
     p.add_argument("--eval_every", type=int, default=10)
+    p.add_argument("--train_auc_every", type=int, default=None,
+                   help="print train-split AUROC every k epochs "
+                        "(reference run.py:217-228 cadence: 2)")
     p.add_argument("--spmm_impl", type=str, default="auto",
                    choices=["auto", "xla", "pallas", "ell"])
     p.add_argument("--log_jsonl", type=str, default=None,
@@ -99,6 +102,7 @@ def main(argv=None) -> int:
             pos_weight=float(args.negsamp_ratio),
             seed=args.seed,
             eval_every=args.eval_every,
+            train_auc_every=args.train_auc_every,
             spmm_impl=args.spmm_impl,
             spmm_dtype=args.spmm_dtype,
             scan_steps=args.scan_steps,

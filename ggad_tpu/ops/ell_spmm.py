@@ -149,9 +149,16 @@ def _ell_matmul(m: ELL, x: jax.Array) -> jax.Array:
     ``dtype='bfloat16'``), accumulates in f32.
     """
     xc = x.astype(m.val.dtype)
-    out = jnp.zeros((m.n_rows, x.shape[1]), jnp.float32)
-    for s in range(m.k):
-        out = out + (xc[m.idx[:, s]] * m.val[:, s, None]).astype(jnp.float32)
+
+    # lax.scan over the K slots (a Python loop would unroll K gather
+    # sweeps into the traced program — compile-time risk at high K)
+    def body(acc, slot):
+        idx_s, val_s = slot
+        return acc + (xc[idx_s] * val_s[:, None]).astype(jnp.float32), None
+
+    out, _ = jax.lax.scan(
+        body, jnp.zeros((m.n_rows, x.shape[1]), jnp.float32),
+        (m.idx.T, m.val.T))
     if m.n_overflow:
         gathered = x[m.ov_col] * m.ov_val[:, None]
         out = out + jax.ops.segment_sum(
@@ -181,11 +188,15 @@ def _ell_colsum_raw(m_t: ELL, emb_n: jax.Array) -> jax.Array:
     """num[j] = Σ_i A_ij ⟨n_i, n_j⟩ using the TRANSPOSED table m_t
     (rows of Aᵀ are columns of A) — K scatter-free sweeps."""
     ec = emb_n.astype(m_t.val.dtype)
-    num = jnp.zeros((m_t.n_rows,), jnp.float32)
-    for s in range(m_t.k):
-        num = num + m_t.val[:, s].astype(jnp.float32) * jnp.einsum(
-            "nd,nd->n", ec[m_t.idx[:, s]], ec,
-            preferred_element_type=jnp.float32)
+
+    def body(num, slot):
+        idx_s, val_s = slot
+        return num + val_s.astype(jnp.float32) * jnp.einsum(
+            "nd,nd->n", ec[idx_s], ec,
+            preferred_element_type=jnp.float32), None
+
+    num, _ = jax.lax.scan(body, jnp.zeros((m_t.n_rows,), jnp.float32),
+                          (m_t.idx.T, m_t.val.T))
     if m_t.n_overflow:
         # overflow edges of Aᵀ: (row=j, col=i) pairs
         cos = jnp.einsum("ed,ed->e", emb_n[m_t.ov_col], emb_n[m_t.ov_row],

@@ -93,6 +93,9 @@ class FullBatchTrainer:
     scan_steps: int = 1            # steps fused per dispatch (lax.scan)
     checkpoint_dir: Optional[str] = None
     profile_dir: Optional[str] = None  # jax.profiler trace of steps 2..4
+    train_auc_every: Optional[int] = None  # reference run.py:217-228
+                                   # prints train-AUC every 2 epochs;
+                                   # computed on-device (roc_auc_jnp)
     mesh: Optional[Any] = None     # jax Mesh (or device count) →
                                    # multi-device training
     dist_impl: str = "halo"        # "halo": explicit boundary-exchange
@@ -282,6 +285,25 @@ class FullBatchTrainer:
         return out.logits[:, 0]
 
     # ------------------------------------------------------------------
+    def train_auc(self, params, rng=None) -> float:
+        """AUROC over the train split, entirely on device except the
+        final scalar (reference ``run.py:217-228``)."""
+        from ggad_tpu.ops.metrics import roc_auc_jnp
+
+        if rng is None:
+            rng = jax.random.PRNGKey(0)
+        if not hasattr(self, "_train_auc_jit"):
+            ds = self.dataset
+            self._auc_labels = jnp.asarray(ds.ano_labels, jnp.float32)
+            mask = np.zeros(ds.n_nodes, np.float32)
+            mask[ds.idx_train] = 1.0
+            self._auc_mask = jnp.asarray(mask)
+            self._train_auc_jit = jax.jit(roc_auc_jnp)
+        scores = self._eval_scores(params, rng, self.adj, self.features,
+                                   self.seed_idx, self.normal_idx)
+        return float(self._train_auc_jit(self._auc_labels, scores,
+                                         self._auc_mask))
+
     def evaluate(self, params, rng=None, subset: str = "test") -> tuple[float, float]:
         if rng is None:
             rng = jax.random.PRNGKey(0)
@@ -360,6 +382,14 @@ class FullBatchTrainer:
                     "loss_margin": float(losses.margin),
                     "loss_rec": float(losses.rec),
                 }
+            if (self.train_auc_every
+                    and (epoch % self.train_auc_every == 0
+                         or epoch == self.num_epoch - 1)):
+                tauc = self.train_auc(params)
+                rec = rec or {"epoch": epoch}
+                rec["train_auc"] = tauc
+                if verbose:
+                    print(f"epoch {epoch:4d}  train AUROC {tauc:.4f}")
             if epoch % self.eval_every == 0 or epoch == self.num_epoch - 1:
                 auc, ap = self.evaluate(params)
                 rec = rec or {"epoch": epoch}
