@@ -66,12 +66,18 @@ def _sddmm_colsum_kernel(tile_rows_ref, tile_cols_ref, vals_ref,
     out_ref[0, 0:1, :] += jnp.sum(vals * m, axis=1)[None, :]
 
 
-def _sddmm_colsum_raw(tiles, emb_n: jax.Array) -> jax.Array:
-    """Row sums of (M ∘ (E Eᵀ)) for a BCSR matrix M; returns [n_rows]."""
+def _sddmm_colsum_raw(tiles, emb_rows: jax.Array,
+                      emb_cols: jax.Array | None = None) -> jax.Array:
+    """Row sums of (M ∘ (E_r E_cᵀ)) for a BCSR matrix M; [n_rows].
+    ``emb_cols`` defaults to ``emb_rows`` (the square affinity case);
+    passing a different matrix gives the rectangular halo case (rows
+    index the combined buffer, cols the local embeddings)."""
     from jax.experimental.pallas import tpu as pltpu
 
+    if emb_cols is None:
+        emb_cols = emb_rows
     n_t = tiles.n_tiles
-    d_pad = emb_n.shape[1]
+    d_pad = emb_rows.shape[1]
     n_blocks = tiles.n_rows // TILE
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -94,7 +100,7 @@ def _sddmm_colsum_raw(tiles, emb_n: jax.Array) -> jax.Array:
             bytes_accessed=n_t * (TILE * TILE + 2 * TILE * d_pad) * 4,
             transcendentals=0),
         interpret=jax.default_backend() != "tpu",
-    )(tiles.tile_rows, tiles.tile_cols, tiles.values, emb_n, emb_n)
+    )(tiles.tile_rows, tiles.tile_cols, tiles.values, emb_rows, emb_cols)
     return out[:, 0, :].reshape(-1)
 
 
@@ -131,3 +137,52 @@ def _colsum_vjp_bwd(res, g):
 
 
 bcsr_sddmm_colsum.defvjp(_colsum_vjp_fwd, _colsum_vjp_bwd)
+
+
+# --------------------------------------------------------------------------
+# Rectangular variant (halo-sharded affinity: M [R × C], two operand sets)
+# --------------------------------------------------------------------------
+
+@jax.custom_vjp
+def bcsr_sddmm_colsum_rect(pair: BCSRPair, buf: jax.Array,
+                           emb_local: jax.Array) -> jax.Array:
+    """partial_c = Σ_r M[r,c] ⟨emb_local_r, buf_c⟩ for a rectangular
+    BCSR (fwd: [R_pad × C_pad], bwd: the transpose) — the halo-local
+    affinity numerator on the MXU. Differentiable in both operands:
+
+        d_buf       = g ⊙ (Mᵀ emb_local)
+        d_emb_local = M (g ⊙ buf)
+    """
+    return _rect_colsum_fwd_only(pair, buf, emb_local)
+
+
+def _rect_embpad(x, n_rows):
+    d_pad = _round_up(max(x.shape[1], TILE), TILE)
+    return jnp.pad(x, ((0, n_rows - x.shape[0]), (0, d_pad - x.shape[1])))
+
+
+def _rect_colsum_fwd_only(pair, buf, emb_local):
+    c = buf.shape[0]
+    bp = _rect_embpad(buf, pair.bwd.n_rows)
+    ep = _rect_embpad(emb_local, pair.bwd.n_cols)
+    return _sddmm_colsum_raw(pair.bwd, bp, ep)[:c]
+
+
+def _rect_colsum_vjp_fwd(pair, buf, emb_local):
+    return _rect_colsum_fwd_only(pair, buf, emb_local), (pair, buf,
+                                                         emb_local)
+
+
+def _rect_colsum_vjp_bwd(res, g):
+    pair, buf, emb_local = res
+    c, d = buf.shape
+    r = emb_local.shape[0]
+    d_tile = _pick_d_tile(d)
+    ep = _pad_h(emb_local, pair.bwd.n_cols, d_tile)
+    d_buf = g[:, None] * _bcsr_matmul_raw(pair.bwd, ep, d_tile)[:c, :d]
+    gb = _pad_h(g[:, None] * buf, pair.fwd.n_cols, d_tile)
+    d_emb = _bcsr_matmul_raw(pair.fwd, gb, d_tile)[:r, :d]
+    return None, d_buf, d_emb
+
+
+bcsr_sddmm_colsum_rect.defvjp(_rect_colsum_vjp_fwd, _rect_colsum_vjp_bwd)

@@ -31,6 +31,7 @@ from ggad_tpu.parallel.spmm_shard import (
     HaloBCSR,
     HaloPlan,
     affinity_halo,
+    affinity_halo_bcsr,
     build_halo_bcsr,
     build_halo_plan,
     pad_nodes,
@@ -62,6 +63,7 @@ def halo_ggad_forward_and_losses(
     axis: str = "nodes",
     *,
     tiles: HaloBCSR | None = None,
+    raw_tiles: HaloBCSR | None = None,
     confidence_margin: float = 0.7,
     pos_weight: float = 1.0,
 ) -> GGADLosses:
@@ -108,7 +110,11 @@ def halo_ggad_forward_and_losses(
     ])
     loss_bce = jnp.mean(bce_with_logits(logits, labels, pos_weight))
 
-    affinity = affinity_halo(raw_part, raw_plan, emb, mesh, axis)
+    if raw_tiles is not None:
+        affinity = affinity_halo_bcsr(raw_part, raw_plan, raw_tiles, emb,
+                                      mesh, axis)
+    else:
+        affinity = affinity_halo(raw_part, raw_plan, emb, mesh, axis)
     aff_normal = jnp.mean(affinity[normal_idx])
     aff_outlier = jnp.mean(affinity[seed_idx])
     loss_margin = jnp.maximum(
@@ -171,7 +177,7 @@ def make_halo_train_step(
     ``tiles`` (HaloBCSR) to run the SpMMs on the MXU."""
 
     def one_step(params, opt_state, key, part, plan, raw_part, raw_plan,
-                 x_pad, seed_idx, normal_idx, tiles):
+                 x_pad, seed_idx, normal_idx, tiles, raw_tiles):
         noise = (jax.random.normal(key, (seed_idx.shape[0], n_h))
                  * noise_std + noise_mean)
 
@@ -179,6 +185,7 @@ def make_halo_train_step(
             losses = halo_ggad_forward_and_losses(
                 p, part, plan, x_pad, seed_idx, normal_idx, noise,
                 raw_part, raw_plan, mesh, axis, tiles=tiles,
+                raw_tiles=raw_tiles,
                 confidence_margin=confidence_margin,
                 pos_weight=pos_weight)
             return losses.total, losses
@@ -190,17 +197,18 @@ def make_halo_train_step(
         return params, opt_state, losses
 
     def step(params, opt_state, rng, part, plan, raw_part, raw_plan,
-             x_pad, seed_idx, normal_idx, tiles=None):
+             x_pad, seed_idx, normal_idx, tiles=None, raw_tiles=None):
         if n_steps == 1:
             rng, key = jax.random.split(rng)
             return one_step(params, opt_state, key, part, plan, raw_part,
-                            raw_plan, x_pad, seed_idx, normal_idx, tiles)
+                            raw_plan, x_pad, seed_idx, normal_idx, tiles,
+                            raw_tiles)
 
         def body(carry, key):
             params, opt_state = carry
             params, opt_state, losses = one_step(
                 params, opt_state, key, part, plan, raw_part, raw_plan,
-                x_pad, seed_idx, normal_idx, tiles)
+                x_pad, seed_idx, normal_idx, tiles, raw_tiles)
             return (params, opt_state), losses
 
         keys = jax.random.split(rng, n_steps)
@@ -221,6 +229,7 @@ class HaloSetup:
     seed_idx: jax.Array
     normal_idx: jax.Array
     tiles: HaloBCSR | None = None
+    raw_tiles: HaloBCSR | None = None
 
 
 def prepare_halo(dataset, mesh: Mesh, axis: str = "nodes",
@@ -240,13 +249,17 @@ def prepare_halo(dataset, mesh: Mesh, axis: str = "nodes",
     part = partition_edges(adj, n_dev)
     raw_part = partition_edges(raw_adj, n_dev)
     plan_host = build_halo_plan(part)
-    tiles = None
+    raw_plan_host = build_halo_plan(raw_part)
+    tiles = raw_tiles = None
     if spmm_impl == "pallas":
         tiles = place_halo_bcsr(
             build_halo_bcsr(part, plan_host, dtype=spmm_dtype), mesh,
             axis)
+        raw_tiles = place_halo_bcsr(
+            build_halo_bcsr(raw_part, raw_plan_host, dtype=spmm_dtype),
+            mesh, axis)
     plan = place_halo_plan(plan_host, mesh, axis)
-    raw_plan = place_halo_plan(build_halo_plan(raw_part), mesh, axis)
+    raw_plan = place_halo_plan(raw_plan_host, mesh, axis)
     part = place_partition(part, mesh, axis)
     raw_part = place_partition(raw_part, mesh, axis)
 
@@ -258,7 +271,7 @@ def prepare_halo(dataset, mesh: Mesh, axis: str = "nodes",
     normal_idx = jax.device_put(
         jnp.asarray(dataset.normal_label_idx, jnp.int32), repl)
     return HaloSetup(part, plan, raw_part, raw_plan, x_pad, seed_idx,
-                     normal_idx, tiles)
+                     normal_idx, tiles, raw_tiles)
 
 
 def halo_training_run(mesh: Mesh, dataset, *, n_h: int = 64,
@@ -299,6 +312,6 @@ def halo_training_run(mesh: Mesh, dataset, *, n_h: int = 64,
         params, opt_state, losses = step(
             params, opt_state, step_rng, setup.part, setup.plan,
             setup.raw_part, setup.raw_plan, setup.x_pad, setup.seed_idx,
-            setup.normal_idx, setup.tiles)
+            setup.normal_idx, setup.tiles, setup.raw_tiles)
     jax.block_until_ready(losses.total)
     return params, losses

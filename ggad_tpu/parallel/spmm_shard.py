@@ -423,6 +423,59 @@ def affinity_halo(part: EdgePartition, plan: HaloPlan, emb: jax.Array,
       emb)
 
 
+def affinity_halo_bcsr(part: EdgePartition, plan: HaloPlan,
+                       tiles: HaloBCSR, emb: jax.Array, mesh: Mesh,
+                       axis: str = "nodes") -> jax.Array:
+    """Per-node local affinity with boundary exchange where the local
+    SDDMM numerator runs on the MXU (``bcsr_sddmm_colsum_rect`` over the
+    per-shard tile sets of the RAW adjacency). Same collectives as
+    :func:`affinity_halo`; returns a replicated [N_pad] vector."""
+    from ggad_tpu.ops.pallas_sddmm import bcsr_sddmm_colsum_rect
+    from ggad_tpu.ops.pallas_spmm import BCSR, BCSRPair
+
+    D, B, R = plan.n_shards, plan.boundary, plan.rows_per_shard
+    tf = tiles.fwd_rows.shape[0] // D
+    tb = tiles.bwd_rows.shape[0] // D
+
+    def local(send_idx, fr, fc, fv, br, bc, bv, den_local, emb_local):
+        sq = jnp.sum(jnp.square(emb_local), axis=-1, keepdims=True)
+        pos = sq > 0
+        nrm = jnp.sqrt(jnp.where(pos, sq, 1.0))
+        emb_n = emb_local * jnp.where(pos, 1.0 / nrm, 0.0)
+
+        send = emb_n[send_idx.reshape(D, B)]
+        recv = jax.lax.all_to_all(send, axis, 0, 0, tiled=True)
+        buf = jnp.concatenate([recv.reshape(D * B, -1), emb_n], axis=0)
+
+        pair = BCSRPair(
+            fwd=BCSR(fr.reshape(tf), fc.reshape(tf),
+                     fv.reshape(tf, *fv.shape[-2:]),
+                     n_rows=tiles.r_pad, n_cols=tiles.c_pad),
+            bwd=BCSR(br.reshape(tb), bc.reshape(tb),
+                     bv.reshape(tb, *bv.shape[-2:]),
+                     n_rows=tiles.c_pad, n_cols=tiles.r_pad),
+            n_nodes=R)
+        partial = bcsr_sddmm_colsum_rect(pair, buf, emb_n)   # [C]
+
+        rev = jax.lax.all_to_all(partial[: D * B].reshape(D, B),
+                                 axis, 0, 0, tiled=True)
+        num = partial[D * B:]
+        num = num.at[send_idx.reshape(-1)].add(rev.reshape(-1))
+        aff = num * jnp.where(den_local != 0, 1.0 / den_local, 0.0)
+        my = jax.lax.axis_index(axis)
+        full = jnp.zeros((D * R,), aff.dtype)
+        full = jax.lax.dynamic_update_slice(full, aff, (my * R,))
+        return jax.lax.psum(full, axis)
+
+    return jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(axis),) * 9,
+        out_specs=P(),
+        check_vma=False,   # pallas_call can't declare vma metadata yet
+    )(plan.send_idx, tiles.fwd_rows, tiles.fwd_cols, tiles.fwd_vals,
+      tiles.bwd_rows, tiles.bwd_cols, tiles.bwd_vals, plan.den, emb)
+
+
 def affinity_sharded(part: EdgePartition, emb: jax.Array, mesh: Mesh,
                      axis: str = "nodes") -> jax.Array:
     """Per-node local affinity with explicit collectives (the SDDMM +

@@ -325,14 +325,35 @@ def test_halo_ggad_losses_match_flax_pallas_tiles(mesh):
     ref = ggad_losses(out, raw, si, ni)
 
     setup = prepare_halo(ds, mesh, spmm_impl="pallas")
-    assert setup.tiles is not None
+    assert setup.tiles is not None and setup.raw_tiles is not None
     noise = jnp.full((si.shape[0], 24), 0.02, jnp.float32)
     got = halo_ggad_forward_and_losses(
         params, setup.part, setup.plan, setup.x_pad, setup.seed_idx,
         setup.normal_idx, noise, setup.raw_part, setup.raw_plan, mesh,
-        tiles=setup.tiles)
-    np.testing.assert_allclose(float(got.total), float(ref.total),
-                               rtol=1e-4, atol=1e-5)
+        tiles=setup.tiles, raw_tiles=setup.raw_tiles)
+    for field in ("total", "bce", "margin", "rec"):
+        np.testing.assert_allclose(
+            float(getattr(got, field)), float(getattr(ref, field)),
+            rtol=1e-4, atol=1e-5, err_msg=field)
+
+    # and the gradients cross the tile SDDMM + both exchanges intact
+    def loss_halo(p):
+        return halo_ggad_forward_and_losses(
+            p, setup.part, setup.plan, setup.x_pad, setup.seed_idx,
+            setup.normal_idx, noise, setup.raw_part, setup.raw_plan,
+            mesh, tiles=setup.tiles, raw_tiles=setup.raw_tiles).total
+
+    def loss_flax(p):
+        out = model.apply(p, adj, x, si, ni, train=True,
+                          rngs={"noise": jax.random.PRNGKey(2)})
+        return ggad_losses(out, raw, si, ni).total
+
+    g_h = jax.grad(loss_halo)(params)
+    g_f = jax.grad(loss_flax)(params)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-4, atol=5e-5),
+        g_h, g_f)
 
 
 def test_halo_training_device_count_invariant(mesh):
