@@ -157,6 +157,44 @@ def to_scipy(g: Graph):
                          shape=(g.n_nodes, g.n_nodes)).tocsr()
 
 
+def rows_subgraph(g: Graph, rows) -> Graph:
+    """Rectangular row-subgraph: the edges of ``rows`` with row indices
+    renumbered 0..len(rows)-1 IN THE ORDER GIVEN (columns stay global).
+
+    ``spmm(sub, x)`` then computes ``(A @ x)[rows]`` in O(E_rows) instead
+    of a full SpMM + slice — and, critically, its BACKWARD scatters only
+    the ``rows`` cotangents instead of running a full transposed SpMM on
+    a mostly-zero cotangent. Used for GGAD's generator aggregation
+    (reference ``model.py:151-156``: ``adj[seed_idx, :] @ emb``).
+
+    NB the result's ``n_nodes`` is len(rows) (the ROW count); column
+    indices still address the original N — only ``spmm`` semantics are
+    supported, not degree helpers.
+    """
+    rows = np.asarray(rows, dtype=np.int64)
+    r = np.asarray(g.row)[: g.n_edges]
+    c = np.asarray(g.col)[: g.n_edges]
+    v = np.asarray(g.val)[: g.n_edges]
+    lookup = np.full(g.n_nodes, -1, np.int64)
+    lookup[rows] = np.arange(len(rows))
+    sel = lookup[r] >= 0
+    new_r = lookup[r[sel]]
+    order = np.argsort(new_r, kind="stable")
+    new_r, new_c, new_v = new_r[order], c[sel][order], v[sel][order]
+
+    n_e = len(new_r)
+    e_pad = max(_round_up(max(n_e, 1), 8), 8)
+    row_p = np.zeros(e_pad, np.int32)
+    col_p = np.zeros(e_pad, np.int32)
+    val_p = np.zeros(e_pad, np.float32)
+    row_p[:n_e], col_p[:n_e], val_p[:n_e] = new_r, new_c, new_v
+    indptr = np.zeros(len(rows) + 1, np.int32)
+    indptr[1:] = np.cumsum(np.bincount(new_r, minlength=len(rows)))
+    return Graph(row=jnp.asarray(row_p), col=jnp.asarray(col_p),
+                 val=jnp.asarray(val_p), indptr=jnp.asarray(indptr),
+                 n_nodes=len(rows), n_edges=n_e)
+
+
 def add_self_loops(g: Graph, weight: float = 1.0) -> Graph:
     """Return A + weight·I as a new Graph (host-side rebuild).
 

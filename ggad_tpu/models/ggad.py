@@ -60,7 +60,12 @@ class GGAD(nn.Module):
         return self.gcn2(adj, self.gcn1(adj, x))
 
     def __call__(self, adj: Graph, x: jax.Array, seed_idx: jax.Array,
-                 normal_idx: jax.Array, train: bool = True) -> GGADOutput:
+                 normal_idx: jax.Array, train: bool = True,
+                 seed_adj: Optional[Graph] = None) -> GGADOutput:
+        """``seed_adj``: optional precomputed row-subgraph of ``adj`` at
+        ``seed_idx`` (see :func:`ggad_tpu.graph.rows_subgraph`) — the
+        generator aggregation then costs O(E_seed) forward AND backward
+        instead of a full SpMM each way. Same math either way."""
         emb = self.encode(adj, x)
 
         # Perturbed seed embeddings (the ego-closeness target).
@@ -72,7 +77,10 @@ class GGAD(nn.Module):
         if train:
             # Generated outliers from neighborhood aggregates:
             # (Â @ emb)[seed] == adj[seed, :] @ emb  (reference model.py:151-156)
-            agg = spmm(adj, emb, impl=self.spmm_impl)[seed_idx]
+            if seed_adj is not None:
+                agg = spmm(seed_adj, emb, impl="xla")
+            else:
+                agg = spmm(adj, emb, impl=self.spmm_impl)[seed_idx]
             emb_con = jax.nn.relu(self.fc4(agg))
             emb_combine = jnp.concatenate([emb[normal_idx], emb_con], axis=0)
             logits = self.head(emb_combine)

@@ -114,6 +114,9 @@ class FullBatchTrainer:
 
         graph = from_scipy(ds.adj)
         self.adj, self.raw_adj = normalize_adj_reference(graph)
+        # seed-row subgraph: generator aggregation in O(E_seed) both ways
+        from ggad_tpu.graph import rows_subgraph
+        self.seed_adj = rows_subgraph(self.adj, ds.abnormal_label_idx)
         self._halo = None
         if self.mesh is not None:
             from ggad_tpu.parallel.mesh import make_mesh
@@ -202,14 +205,14 @@ class FullBatchTrainer:
         scans: dict = {}
 
         def train_step(params, opt_state, rng, adj, raw_adj, features,
-                       seed_idx, normal_idx):
+                       seed_idx, normal_idx, seed_adj=None):
             return step1(params, opt_state, rng, setup.part, setup.plan,
                          setup.raw_part, setup.raw_plan, features,
                          seed_idx, normal_idx, setup.tiles,
                          setup.raw_tiles)
 
         def train_scan(params, opt_state, rng, adj, raw_adj, features,
-                       seed_idx, normal_idx, n_steps):
+                       seed_idx, normal_idx, n_steps, seed_adj=None):
             if n_steps not in scans:
                 scans[n_steps] = make_halo_train_step(
                     self.tx, self.mesh, n_steps=n_steps, **common)
@@ -245,11 +248,11 @@ class FullBatchTrainer:
         return params, opt_state
 
     def _train_step_impl(self, params, opt_state, rng, adj, raw_adj,
-                         features, seed_idx, normal_idx):
+                         features, seed_idx, normal_idx, seed_adj=None):
         def loss_fn(p):
             out = self.model.apply(
                 p, adj, features, seed_idx, normal_idx,
-                train=True, rngs={"noise": rng})
+                train=True, seed_adj=seed_adj, rngs={"noise": rng})
             losses = ggad_losses(
                 out, raw_adj, seed_idx, normal_idx,
                 confidence_margin=self.confidence_margin,
@@ -262,14 +265,15 @@ class FullBatchTrainer:
         return params, opt_state, losses
 
     def _train_scan_impl(self, params, opt_state, rng, adj, raw_adj,
-                         features, seed_idx, normal_idx, n_steps: int):
+                         features, seed_idx, normal_idx, n_steps: int,
+                         seed_adj=None):
         """``n_steps`` fused training steps per dispatch (amortizes host
         round-trips; the reference pays a full python epoch per step)."""
         def body(carry, key):
             params, opt_state = carry
             params, opt_state, losses = self._train_step_impl(
                 params, opt_state, key, adj, raw_adj, features, seed_idx,
-                normal_idx)
+                normal_idx, seed_adj)
             return (params, opt_state), losses
 
         keys = jax.random.split(rng, n_steps)
@@ -358,12 +362,14 @@ class FullBatchTrainer:
             if chunk > 1:
                 params, opt_state, losses = self._train_scan(
                     params, opt_state, step_rng, self.adj, self.raw_adj,
-                    self.features, self.seed_idx, self.normal_idx, chunk)
+                    self.features, self.seed_idx, self.normal_idx, chunk,
+                    self.seed_adj)
                 epoch += chunk - 1
             else:
                 params, opt_state, losses = self._train_step(
                     params, opt_state, step_rng, self.adj, self.raw_adj,
-                    self.features, self.seed_idx, self.normal_idx)
+                    self.features, self.seed_idx, self.normal_idx,
+                    self.seed_adj)
             if (self.profile_dir and epoch >= 4
                     and jax.default_backend() == "tpu"
                     and not getattr(self, "_trace_done", False)):

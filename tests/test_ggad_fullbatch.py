@@ -272,3 +272,39 @@ def test_camouflage_features():
                                rtol=1e-6)
     np.testing.assert_allclose(out[5:], feats[5:])
     np.testing.assert_allclose(out[:5, k:], feats[:5, k:])
+
+
+def test_seed_subgraph_generator_parity():
+    """spmm(rows_subgraph(adj, seed), emb) must equal the full-SpMM+slice
+    generator path in values AND gradients (it exists purely to cut the
+    generator aggregation to O(E_seed) both ways)."""
+    from ggad_tpu.datasets.synthetic import synthetic_gad
+    from ggad_tpu.graph import from_scipy, rows_subgraph
+    from ggad_tpu.models.ggad import GGAD
+    from ggad_tpu.ops.normalize import normalize_adj_reference
+    from ggad_tpu.train.losses import ggad_losses
+
+    ds = synthetic_gad(n_nodes=220, avg_degree=7, feat_dim=12, seed=6)
+    adj, raw = normalize_adj_reference(from_scipy(ds.adj))
+    seed_adj = rows_subgraph(adj, ds.abnormal_label_idx)
+    x = jnp.asarray(ds.features, jnp.float32)
+    si = jnp.asarray(ds.abnormal_label_idx, jnp.int32)
+    ni = jnp.asarray(ds.normal_label_idx, jnp.int32)
+    model = GGAD(n_h=16, noise_mean=0.02, noise_std=0.0)
+    k = jax.random.PRNGKey(0)
+    params = model.init({"params": k, "noise": k}, adj, x, si, ni,
+                        train=True)
+
+    def loss(p, use_sub):
+        out = model.apply(p, adj, x, si, ni, train=True,
+                          seed_adj=seed_adj if use_sub else None,
+                          rngs={"noise": jax.random.PRNGKey(3)})
+        return ggad_losses(out, raw, si, ni).total
+
+    l0, g0 = jax.value_and_grad(lambda p: loss(p, False))(params)
+    l1, g1 = jax.value_and_grad(lambda p: loss(p, True))(params)
+    np.testing.assert_allclose(float(l1), float(l0), rtol=1e-5, atol=1e-6)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5),
+        g1, g0)
