@@ -139,9 +139,18 @@ def run_tam(
     num_epoch: int = 500,
     lr: float = 1e-5,
     seed: int = 0,
+    member_chunk: int | None = None,
     verbose: bool = False,
 ) -> TAMResult:
-    """Full TAM pipeline: sequential cuts, vmapped parallel ensemble training."""
+    """Full TAM pipeline: sequential cuts, vmapped parallel ensemble
+    training in memory-bounded member chunks.
+
+    ``member_chunk``: how many ensemble members train concurrently under
+    one vmap (None = auto: bound the [chunk, E, 2·n_h] SpMM gather buffer
+    to ~1.5 GB — the full 8-member vmap OOMs a 16 GB chip at photo
+    scale). The reference trains members strictly sequentially
+    (``tam.py:173-201``); chunking preserves per-member trajectories.
+    """
     import optax
 
     x = jnp.asarray(features, jnp.float32)
@@ -150,6 +159,10 @@ def run_tam(
     dis = edge_feature_distance(raw_adj, x)
 
     n_members = cutting * n_tree
+    if member_chunk is None:
+        gather_bytes = raw_adj.e_pad * 2 * n_h * 4
+        member_chunk = max(1, min(n_members,
+                                  int(1.5e9 // max(gather_bytes, 1))))
     rng = jax.random.PRNGKey(seed)
 
     # ---- build the cut-value stack (sequential in cuts, per tree) ------
@@ -163,7 +176,7 @@ def run_tam(
     val_stack = jnp.stack(member_vals)              # [M, E_pad]
     norm_stack = jax.vmap(lambda v: sym_normalize_vals(v, raw_adj))(val_stack)
 
-    # ---- vmapped ensemble training -------------------------------------
+    # ---- vmapped ensemble training (chunked over members) --------------
     model = TAMEncoder(n_h=n_h)
     tx = optax.adam(lr)
 
@@ -171,8 +184,7 @@ def run_tam(
         return model.init({"params": key}, raw_adj, x)
 
     rng, ikey = jax.random.split(rng)
-    params = jax.vmap(init_one)(jax.random.split(ikey, n_members))
-    opt_state = jax.vmap(tx.init)(params)
+    member_keys = jax.random.split(ikey, n_members)
 
     def one_step(p, o, adj_val):
         adj_m = dataclasses.replace(raw_adj, val=adj_val)
@@ -189,14 +201,24 @@ def run_tam(
         return p, o, loss, message
 
     @jax.jit
-    def epoch(params, opt_state):
-        return jax.vmap(one_step)(params, opt_state, norm_stack)
+    def epoch(params, opt_state, norm_chunk):
+        return jax.vmap(one_step)(params, opt_state, norm_chunk)
 
-    message = None
-    for ep in range(num_epoch):
-        params, opt_state, loss, message = epoch(params, opt_state)
-        if verbose and ep % 50 == 0:
-            print(f"tam epoch {ep}: mean loss {float(jnp.mean(loss)):.4f}")
+    chunk_messages = []
+    for start in range(0, n_members, member_chunk):
+        keys = member_keys[start:start + member_chunk]
+        norm_chunk = norm_stack[start:start + member_chunk]
+        params = jax.vmap(init_one)(keys)
+        opt_state = jax.vmap(tx.init)(params)
+        message = None
+        for ep in range(num_epoch):
+            params, opt_state, loss, message = epoch(params, opt_state,
+                                                     norm_chunk)
+            if verbose and ep % 50 == 0:
+                print(f"tam members {start}+ epoch {ep}: mean loss "
+                      f"{float(jnp.mean(loss)):.4f}")
+        chunk_messages.append(np.asarray(message))
+    message = jnp.asarray(np.concatenate(chunk_messages, axis=0))
 
     # ---- ensemble scoring (reference tam.py:206-237) -------------------
     messages = np.asarray(message)                  # [M, N]

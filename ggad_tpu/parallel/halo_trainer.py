@@ -17,7 +17,7 @@ reference is a single-process 24-core-CPU program).
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Callable, NamedTuple
+from typing import Any, Callable
 
 import jax
 import jax.numpy as jnp
@@ -25,7 +25,6 @@ import numpy as np
 import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ggad_tpu.graph import Graph
 from ggad_tpu.parallel.spmm_shard import (
     EdgePartition,
     HaloBCSR,

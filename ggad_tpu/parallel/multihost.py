@@ -25,7 +25,7 @@ reference is a single 24-core-CPU process (``README.md:21``).
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Optional
 
 import jax
 import numpy as np
