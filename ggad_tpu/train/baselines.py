@@ -482,7 +482,8 @@ def run_minibatch_model(name: str, ds: GADDataset, args) -> dict:
         res = run_minibatch_classifier(
             name, adj, ds.features, labels, idx_train, idx_anom,
             idx_valid, idx_test, num_epochs=args.num_epoch or 30,
-            lr=args.lr or 1e-3, seed=args.seed, verbose=True)
+            lr=args.lr or 1e-3, seed=args.seed,
+            relations=getattr(ds, "relations", None), verbose=True)
         res.update({"model": name, "dataset": ds.name})
         return res
     if name in ("dominant-minibatch", "anomalydae-minibatch",
@@ -615,13 +616,19 @@ def run_minibatch_classifier(name, adj, features, labels, idx_train,
                              n_anom: int = 50, num_batches: int = 50,
                              num_epochs: int = 30, lr: float = 1e-3,
                              weight_decay: float = 0.007, seed: int = 0,
+                             relations=None,
                              verbose: bool = False) -> dict:
     """Supervised minibatch classifiers: vanilla GraphSAGE (CE) and the
     PC-GNN-style multi-relation model (CE + 5·affinity margin).
 
     Same 150+n_anom batch composition and best-val-AUC selection as the
     GGAD minibatch handler (reference ``src/model_handler.py:310-399``).
+    ``relations``: per-relation scipy adjacencies for PC-GNN (yelp-style
+    RUR/RTR/RSR); None falls back to three copies of the homogeneous
+    graph (the reference's active code path, ``src/model_handler.py:27``).
     """
+    import scipy.sparse as sp
+
     from ggad_tpu.models.pcgnn import PCGNN, pcgnn_loss, pcgnn_prob
     from ggad_tpu.models.sage import GraphSAGEClassifier
     from ggad_tpu.ops.metrics import average_precision, roc_auc
@@ -636,8 +643,14 @@ def run_minibatch_classifier(name, adj, features, labels, idx_train,
     # over them would embed them in the compile payload (HTTP 413 on the
     # remote-compile tunnel at DGraph scale).
     if name == "pcgnn":
-        model = PCGNN(emb_dim=emb_dim, n_relations=3)
-        tb = [table] * 3
+        if relations is not None:
+            n = adj.shape[0]
+            tb = [NeighborTable.from_scipy(
+                r + sp.eye(n, format="csr", dtype=np.float32))
+                for r in relations]
+        else:
+            tb = [table] * 3
+        model = PCGNN(emb_dim=emb_dim, n_relations=len(tb))
 
         def loss_fn(p, batch, y, key, feats, tb):
             out = model.apply(p, feats, tb, batch, rngs={"sample": key})
