@@ -63,6 +63,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--dist_impl", type=str, default="halo",
                    choices=["halo", "gspmd"],
                    help="multi-device schedule for --mesh_devices")
+    p.add_argument("--score_only", action="store_true",
+                   help="restore --checkpoint_dir and score the dataset "
+                        "instead of training (ggad only)")
+    p.add_argument("--score_out", type=str, default=None,
+                   help="write per-node scores to this .npz")
     return p
 
 
@@ -88,6 +93,25 @@ def main(argv=None) -> int:
           f"feats={ds.feat_dim} anomalies={int(ds.ano_labels.sum())} "
           f"labeled_normals={len(ds.normal_label_idx)} "
           f"seeds={len(ds.abnormal_label_idx)}")
+
+    if args.model == "ggad" and args.score_only:
+        import numpy as np
+
+        from ggad_tpu.serve import score_dataset
+
+        if not args.checkpoint_dir:
+            raise SystemExit("--score_only requires --checkpoint_dir")
+        res = score_dataset(args.checkpoint_dir, ds,
+                            embedding_dim=args.embedding_dim,
+                            spmm_impl=args.spmm_impl,
+                            spmm_dtype=args.spmm_dtype)
+        if args.score_out:
+            np.savez(args.score_out, scores=res.scores,
+                     labels=ds.ano_labels)
+        print(json.dumps({"dataset": ds.name, "model": "ggad",
+                          "mode": "score_only", "ckpt_step": res.step,
+                          "auc": res.auc, "ap": res.ap}))
+        return 0
 
     if args.model == "ggad":
         from ggad_tpu.train.full_batch import FullBatchTrainer
