@@ -68,6 +68,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "instead of training (ggad only)")
     p.add_argument("--score_out", type=str, default=None,
                    help="write per-node scores to this .npz")
+    p.add_argument("--retries", type=int, default=0,
+                   help="rebuild + resume from checkpoint after crashes "
+                        "(needs --checkpoint_dir)")
     return p
 
 
@@ -114,28 +117,35 @@ def main(argv=None) -> int:
         return 0
 
     if args.model == "ggad":
-        from ggad_tpu.train.full_batch import FullBatchTrainer
-        trainer = FullBatchTrainer(
-            ds,
-            lr=args.lr if args.lr is not None else preset.lr,
-            weight_decay=args.weight_decay,
-            num_epoch=args.num_epoch,
-            embedding_dim=args.embedding_dim,
-            noise_mean=args.mean,
-            noise_std=args.var,
-            pos_weight=float(args.negsamp_ratio),
-            seed=args.seed,
-            eval_every=args.eval_every,
-            train_auc_every=args.train_auc_every,
-            spmm_impl=args.spmm_impl,
-            spmm_dtype=args.spmm_dtype,
-            scan_steps=args.scan_steps,
-            checkpoint_dir=args.checkpoint_dir,
-            logger=logger.log if logger else None,
-            mesh=args.mesh_devices,
-            dist_impl=args.dist_impl,
+        from ggad_tpu.train.full_batch import (
+            FullBatchTrainer,
+            train_with_retries,
         )
-        res = trainer.train(verbose=True)
+
+        def make_trainer():
+            return FullBatchTrainer(
+                ds,
+                lr=args.lr if args.lr is not None else preset.lr,
+                weight_decay=args.weight_decay,
+                num_epoch=args.num_epoch,
+                embedding_dim=args.embedding_dim,
+                noise_mean=args.mean,
+                noise_std=args.var,
+                pos_weight=float(args.negsamp_ratio),
+                seed=args.seed,
+                eval_every=args.eval_every,
+                train_auc_every=args.train_auc_every,
+                spmm_impl=args.spmm_impl,
+                spmm_dtype=args.spmm_dtype,
+                scan_steps=args.scan_steps,
+                checkpoint_dir=args.checkpoint_dir,
+                logger=logger.log if logger else None,
+                mesh=args.mesh_devices,
+                dist_impl=args.dist_impl,
+            )
+
+        res = train_with_retries(make_trainer, retries=args.retries,
+                                 verbose=True)
         print(json.dumps({"dataset": ds.name, "model": "ggad",
                           "auc": res.final_auc, "ap": res.final_ap,
                           "wall_time_s": res.wall_time_s}))

@@ -62,6 +62,24 @@ def maybe_bcsr(adj: Graph, impl: str, *, min_edges_per_tile: float = 8.0,
     return as_bcsr_graph(adj, dtype=dtype)
 
 
+def train_with_retries(make_trainer: Callable[[], "FullBatchTrainer"],
+                       retries: int = 2, verbose: bool = False):
+    """Failure recovery: rebuild the trainer and resume from its
+    checkpoint after a crash (remote-TPU tunnels drop; orbax restores
+    params/opt/rng/epoch, so a retry continues mid-run). The trainer
+    must be constructed with ``checkpoint_dir`` for resumption to have
+    state; without it a retry restarts from scratch."""
+    for attempt in range(retries + 1):
+        trainer = make_trainer()
+        try:
+            return trainer.train(verbose=verbose)
+        except Exception as e:     # noqa: BLE001 — device/tunnel faults
+            if attempt == retries:
+                raise
+            print(f"[retry] attempt {attempt + 1} failed ({e!r}); "
+                  f"rebuilding and resuming from checkpoint")
+
+
 @dataclasses.dataclass
 class TrainResult:
     params: Any

@@ -308,3 +308,41 @@ def test_seed_subgraph_generator_parity():
         lambda a, b: np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5),
         g1, g0)
+
+
+def test_train_with_retries_resumes_from_checkpoint(tmp_path):
+    """A mid-run crash resumes from the checkpointed epoch, finishing
+    with the same trajectory as an uninterrupted run."""
+    from ggad_tpu.datasets.synthetic import synthetic_gad
+    from ggad_tpu.train.full_batch import (
+        FullBatchTrainer,
+        train_with_retries,
+    )
+
+    ds = synthetic_gad(n_nodes=150, avg_degree=6, feat_dim=10, seed=8)
+    kw = dict(num_epoch=6, embedding_dim=12, noise_std=0.0,
+              eval_every=2, log_every=2, seed=0, spmm_impl="xla")
+
+    ref = FullBatchTrainer(ds, **kw).train()
+
+    calls = {"n": 0}
+
+    def make_flaky():
+        tr = FullBatchTrainer(ds, checkpoint_dir=str(tmp_path), **kw)
+        if calls["n"] == 0:
+            orig = tr._train_step
+
+            def crashing(*a, **k):
+                # crash after a few successful (checkpointed) epochs
+                if calls["n"] >= 3:
+                    raise RuntimeError("simulated device fault")
+                calls["n"] += 1
+                return orig(*a, **k)
+
+            tr._train_step = crashing
+        return tr
+
+    res = train_with_retries(make_flaky, retries=1)
+    assert res is not None
+    # resumed run reaches the same final metrics as the clean run
+    assert res.final_auc == pytest.approx(ref.final_auc, abs=1e-4)
