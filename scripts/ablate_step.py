@@ -1,0 +1,126 @@
+"""Component ablation of the GGAD training step on one chip.
+
+Times each compute component in isolation with the dispatch overhead
+amortized away (K-deep lax.scan inside one jit; per-iteration time =
+(T(2K) − T(K)) / K, same estimator as bench.py), so the numbers add up
+against the full-step measurement and identify the next kernel target.
+
+Usage: python scripts/ablate_step.py [--spmm_dtype bfloat16]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+
+def timed_scan(fn, init, k, n_windows=3):
+    """Median per-iteration seconds of `carry = fn(carry)` via paired
+    K/2K scans."""
+    import jax
+
+    def make(steps):
+        def run(c):
+            return jax.lax.scan(lambda c, _: (fn(c), None), c,
+                                None, length=steps)[0]
+        return jax.jit(run)
+
+    run_k, run_2k = make(k), make(2 * k)
+    c = run_k(init)
+    jax.block_until_ready(jax.tree.leaves(c)[0])
+    c = run_2k(c)
+    jax.block_until_ready(jax.tree.leaves(c)[0])
+    est = []
+    for _ in range(n_windows):
+        t0 = time.perf_counter()
+        c1 = run_k(init)
+        jax.block_until_ready(jax.tree.leaves(c1)[0])
+        t1 = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        c2 = run_2k(init)
+        jax.block_until_ready(jax.tree.leaves(c2)[0])
+        t2 = time.perf_counter() - t0
+        est.append(max((t2 - t1) / k, 1e-9))
+    return statistics.median(est)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--spmm_dtype", default="bfloat16")
+    ap.add_argument("--k", type=int, default=20)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from ggad_tpu.datasets.synthetic import synthetic_gad
+    from ggad_tpu.graph import from_scipy
+    from ggad_tpu.ops.normalize import normalize_adj_reference
+    from ggad_tpu.ops.sddmm import l2_normalize_rows, node_affinity
+    from ggad_tpu.ops.spmm import spmm
+    from ggad_tpu.train.full_batch import FullBatchTrainer, maybe_bcsr
+
+    ds = synthetic_gad(name="ablate", n_nodes=7535, avg_degree=31,
+                       feat_dim=745, n_communities=8, anomaly_rate=0.09,
+                       seed=0, seed_frac=0.15)
+    adj_g, raw_g = normalize_adj_reference(from_scipy(ds.adj))
+    adj = maybe_bcsr(adj_g, "pallas", dtype=args.spmm_dtype)
+    raw = maybe_bcsr(raw_g, "pallas", dtype=args.spmm_dtype)
+    h = jnp.asarray(np.random.default_rng(0).normal(
+        size=(ds.n_nodes, 300)).astype(np.float32))
+
+    rows = {}
+
+    # SpMM forward (kernel)
+    rows["spmm_fwd"] = timed_scan(
+        lambda c: spmm(adj, c) * 1e-3 + c * 0.5, h, args.k)
+    # SpMM forward+backward
+    g_spmm = jax.grad(lambda c: jnp.sum(spmm(adj, c) ** 2) * 1e-6)
+    rows["spmm_fwd_bwd"] = timed_scan(
+        lambda c: g_spmm(c) * 1e-3 + c * 0.5, h, args.k)
+    # affinity forward
+    rows["affinity_fwd"] = timed_scan(
+        lambda c: c * 0.5 + jnp.mean(node_affinity(raw, c)) * 1e-3,
+        h, args.k)
+    # affinity forward+backward
+    g_aff = jax.grad(lambda c: jnp.sum(node_affinity(raw, c)) * 1e-6)
+    rows["affinity_fwd_bwd"] = timed_scan(
+        lambda c: g_aff(c) * 1e-3 + c * 0.5, h, args.k)
+    # row normalize alone (elementwise + reduction)
+    rows["l2_normalize"] = timed_scan(
+        lambda c: l2_normalize_rows(c) * 0.5 + c * 0.5, h, args.k)
+
+    # full training step for reference
+    tr = FullBatchTrainer(ds, num_epoch=1, noise_mean=0.02,
+                          noise_std=0.01, embedding_dim=300,
+                          spmm_dtype=args.spmm_dtype)
+    rng = jax.random.PRNGKey(0)
+    params, opt_state = tr.init(rng)
+
+    def full(carry):
+        params, opt_state, key = carry
+        key, sub = jax.random.split(key)
+        params, opt_state, _ = tr._train_step_impl(
+            params, opt_state, sub, tr.adj, tr.raw_adj, tr.features,
+            tr.seed_idx, tr.normal_idx, tr.seed_adj)
+        return params, opt_state, key
+
+    rows["full_step"] = timed_scan(full, (params, opt_state, rng),
+                                   args.k)
+
+    out = {k: round(v * 1e3, 3) for k, v in rows.items()}
+    out["backend"] = jax.default_backend()
+    out["spmm_dtype"] = args.spmm_dtype
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -41,3 +41,27 @@ def test_cli_trains_one_epoch(model, capsys, tmp_path):
     score = next(rec[k] for k in ("auc", "test_auc", "best_val_auc")
                  if k in rec)
     assert 0.0 <= float(score) <= 1.0
+
+
+def test_cli_score_only_roundtrip(tmp_path, capsys):
+    """Train with checkpointing, then --score_only restores and
+    reproduces the final AUROC (the serving path)."""
+    from ggad_tpu.cli import main
+
+    common = ["--dataset", "photo", "--synthetic_scale", "0.05",
+              "--embedding_dim", "12", "--spmm_impl", "xla",
+              "--checkpoint_dir", str(tmp_path)]
+    rc = main(common + ["--num_epoch", "4", "--eval_every", "2"])
+    assert rc == 0
+    train_rec = json.loads(
+        capsys.readouterr().out.strip().splitlines()[-1])
+
+    rc = main(common + ["--score_only",
+                        "--score_out", str(tmp_path / "s.npz")])
+    assert rc == 0
+    rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rec["mode"] == "score_only" and rec["ckpt_step"] == 3
+    assert rec["auc"] == pytest.approx(train_rec["auc"], abs=1e-6)
+    import numpy as np
+    d = np.load(tmp_path / "s.npz")
+    assert d["scores"].shape == d["labels"].shape
