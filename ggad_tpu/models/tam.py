@@ -200,10 +200,28 @@ def run_tam(
         p = optax.apply_updates(p, updates)
         return p, o, loss, message
 
-    @jax.jit
-    def epoch(params, opt_state, norm_chunk):
-        return jax.vmap(one_step)(params, opt_state, norm_chunk)
+    from functools import partial
 
+    @partial(jax.jit, static_argnums=(3,))
+    def epoch_block(params, opt_state, norm_chunk, n_steps):
+        """``n_steps`` vmapped ensemble epochs fused into one dispatch
+        (per-epoch host round-trips otherwise dominate TAM's wall time:
+        cutting × num_epoch dispatches)."""
+        m = norm_chunk.shape[0]
+        init = (params, opt_state,
+                jnp.zeros((m,), jnp.float32),
+                jnp.zeros((m, raw_adj.n_nodes), jnp.float32))
+
+        def body(carry, _):
+            p, o, _, _ = carry
+            p, o, loss, msg = jax.vmap(one_step)(p, o, norm_chunk)
+            return (p, o, loss, msg), None
+
+        (params, opt_state, loss, message), _ = jax.lax.scan(
+            body, init, None, length=n_steps)
+        return params, opt_state, loss, message
+
+    block = min(50, num_epoch)
     chunk_messages = []
     for start in range(0, n_members, member_chunk):
         keys = member_keys[start:start + member_chunk]
@@ -211,10 +229,13 @@ def run_tam(
         params = jax.vmap(init_one)(keys)
         opt_state = jax.vmap(tx.init)(params)
         message = None
-        for ep in range(num_epoch):
-            params, opt_state, loss, message = epoch(params, opt_state,
-                                                     norm_chunk)
-            if verbose and ep % 50 == 0:
+        ep = 0
+        while ep < num_epoch:
+            n = min(block, num_epoch - ep)
+            params, opt_state, loss, message = epoch_block(
+                params, opt_state, norm_chunk, n)
+            ep += n
+            if verbose:
                 print(f"tam members {start}+ epoch {ep}: mean loss "
                       f"{float(jnp.mean(loss)):.4f}")
         chunk_messages.append(np.asarray(message))
