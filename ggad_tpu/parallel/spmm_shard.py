@@ -258,15 +258,31 @@ def halo_comm_stats(plan: HaloPlan, feat_dim: int,
 def spmm_halo(part: EdgePartition, plan: HaloPlan, h: jax.Array,
               mesh: Mesh, axis: str = "nodes") -> jax.Array:
     """out = A @ h exchanging only boundary rows. ``h``: [N_pad, d]
-    sharded over ``axis``. Returns [N_pad, d] sharded."""
+    sharded over ``axis``. Returns [N_pad, d] sharded.
+
+    The local-column contribution is computed as a SEPARATE term that
+    does not depend on the received buffer, so XLA's latency-hiding
+    scheduler can overlap it with the ``all_to_all``.
+    """
     D, B, R = plan.n_shards, plan.boundary, plan.rows_per_shard
 
     def local(send_idx, col_remap, row_local, val, h_local):
         send = h_local[send_idx.reshape(D, B)]          # [D, B, f]
         recv = jax.lax.all_to_all(send, axis, 0, 0, tiled=True)
-        buf = jnp.concatenate([recv.reshape(D * B, -1), h_local], axis=0)
-        gathered = buf[col_remap] * val[:, None]
-        return jax.ops.segment_sum(gathered, row_local, num_segments=R)
+        # local term: edges whose buffer position is in the local block
+        # (col_remap >= D·B); masked val keeps shapes static
+        is_local = col_remap >= D * B
+        local_cols = jnp.where(is_local, col_remap - D * B, 0)
+        lv = jnp.where(is_local, val, 0.0)
+        out = jax.ops.segment_sum(h_local[local_cols] * lv[:, None],
+                                  row_local, num_segments=R)
+        # remote term: gathers from the received boundary rows
+        remote_cols = jnp.where(is_local, 0, col_remap)
+        rv = jnp.where(is_local, 0.0, val)
+        buf = recv.reshape(D * B, -1)
+        out = out + jax.ops.segment_sum(buf[remote_cols] * rv[:, None],
+                                        row_local, num_segments=R)
+        return out
 
     return jax.shard_map(
         local, mesh=mesh,
@@ -284,16 +300,28 @@ class HaloBCSR:
     buffer onto its R rows; ``fwd_*``/``bwd_*`` hold the forward and
     transposed tile sets stacked on a leading device axis (sharded with
     ``P(axis)``), tile counts padded to the max across shards.
+
+    ``loc_*``/``locT_*``: the LOCAL-column tiles ([R × R], columns
+    inside the shard's own block, + transpose) split out so their
+    matmul/SDDMM does not depend on the ``all_to_all`` result — XLA
+    overlaps it with the exchange. ``fwd_*``/``bwd_*`` cover only the
+    remote columns ([R × D·B] and its transpose).
     """
 
-    fwd_rows: jax.Array   # [D, Tf]
+    loc_rows: jax.Array   # [D, Tl]
+    loc_cols: jax.Array   # [D, Tl]
+    loc_vals: jax.Array   # [D, Tl, TILE, TILE]
+    locT_rows: jax.Array  # [D, Tlt]  (local-block transpose)
+    locT_cols: jax.Array  # [D, Tlt]
+    locT_vals: jax.Array  # [D, Tlt, TILE, TILE]
+    fwd_rows: jax.Array   # [D, Tf]   (remote: [R × D·B])
     fwd_cols: jax.Array   # [D, Tf]
     fwd_vals: jax.Array   # [D, Tf, TILE, TILE]
-    bwd_rows: jax.Array   # [D, Tb]
+    bwd_rows: jax.Array   # [D, Tb]   (remote transpose: [D·B × R])
     bwd_cols: jax.Array   # [D, Tb]
     bwd_vals: jax.Array   # [D, Tb, TILE, TILE]
     r_pad: int = dataclasses.field(metadata=dict(static=True))
-    c_pad: int = dataclasses.field(metadata=dict(static=True))
+    b_pad: int = dataclasses.field(metadata=dict(static=True))  # D·B pad
 
 
 def build_halo_bcsr(part: EdgePartition, plan: HaloPlan,
@@ -304,19 +332,30 @@ def build_halo_bcsr(part: EdgePartition, plan: HaloPlan,
 
     D, E, R, B = (part.n_shards, part.e_shard, part.rows_per_shard,
                   plan.boundary)
-    C = D * B + R
     rl = np.asarray(part.row_local).reshape(D, E)
     cr = np.asarray(plan.col_remap).reshape(D, E)
     vv = np.asarray(part.val).reshape(D, E)
 
     np_dtype = np.float32 if dtype in (np.float32, "float32") \
         else jnp.bfloat16
-    fwd = [bcsr_rect_from_coo(rl[d], cr[d], vv[d], R, C, dtype=np_dtype)
-           for d in range(D)]
-    bwd = [bcsr_rect_from_coo(cr[d], rl[d], vv[d], C, R, dtype=np_dtype)
-           for d in range(D)]
 
-    def stack(blocks, t_max):
+    loc, locT, fwd, bwd = [], [], [], []
+    for d in range(D):
+        is_local = cr[d] >= D * B
+        lc = np.where(is_local, cr[d] - D * B, 0)
+        lv = np.where(is_local, vv[d], 0.0).astype(np.float32)
+        rv = np.where(is_local, 0.0, vv[d]).astype(np.float32)
+        loc.append(bcsr_rect_from_coo(rl[d], lc, lv, R, R,
+                                      dtype=np_dtype))
+        locT.append(bcsr_rect_from_coo(lc, rl[d], lv, R, R,
+                                       dtype=np_dtype))
+        fwd.append(bcsr_rect_from_coo(rl[d], cr[d], rv, R, D * B,
+                                      dtype=np_dtype))
+        bwd.append(bcsr_rect_from_coo(cr[d], rl[d], rv, D * B, R,
+                                      dtype=np_dtype))
+
+    def stack(blocks):
+        t_max = max(b.tile_rows.shape[0] for b in blocks)
         rows = np.zeros((D, t_max), np.int32)
         cols = np.zeros((D, t_max), np.int32)
         vals = np.zeros((D, t_max, TILE, TILE), np_dtype)
@@ -331,13 +370,15 @@ def build_halo_bcsr(part: EdgePartition, plan: HaloPlan,
                 jnp.asarray(cols.reshape(-1)),
                 jnp.asarray(vals.reshape(D * t_max, TILE, TILE)))
 
-    tf = max(b.tile_rows.shape[0] for b in fwd)
-    tb = max(b.tile_rows.shape[0] for b in bwd)
-    fr, fc, fv = stack(fwd, tf)
-    br, bc, bv = stack(bwd, tb)
-    return HaloBCSR(fwd_rows=fr, fwd_cols=fc, fwd_vals=fv,
+    lr_, lc_, lv_ = stack(loc)
+    ltr, ltc, ltv = stack(locT)
+    fr, fc, fv = stack(fwd)
+    br, bc, bv = stack(bwd)
+    return HaloBCSR(loc_rows=lr_, loc_cols=lc_, loc_vals=lv_,
+                    locT_rows=ltr, locT_cols=ltc, locT_vals=ltv,
+                    fwd_rows=fr, fwd_cols=fc, fwd_vals=fv,
                     bwd_rows=br, bwd_cols=bc, bwd_vals=bv,
-                    r_pad=fwd[0].n_rows, c_pad=fwd[0].n_cols)
+                    r_pad=loc[0].n_rows, b_pad=fwd[0].n_cols)
 
 
 def place_halo_bcsr(tiles: HaloBCSR, mesh: Mesh,
@@ -346,38 +387,56 @@ def place_halo_bcsr(tiles: HaloBCSR, mesh: Mesh,
     return jax.tree.map(lambda a: jax.device_put(a, sh), tiles)
 
 
+def _as_pair(rows, cols, vals, n_rows, n_cols, n_rows_t, n_cols_t,
+             rows_t, cols_t, vals_t, R):
+    """Rebuild a BCSRPair from flattened per-device tile leaves."""
+    from ggad_tpu.ops.pallas_spmm import BCSR, BCSRPair
+
+    t, tt = rows.shape[0], rows_t.shape[0]
+    return BCSRPair(
+        fwd=BCSR(rows.reshape(t), cols.reshape(t),
+                 vals.reshape(t, *vals.shape[-2:]),
+                 n_rows=n_rows, n_cols=n_cols),
+        bwd=BCSR(rows_t.reshape(tt), cols_t.reshape(tt),
+                 vals_t.reshape(tt, *vals_t.shape[-2:]),
+                 n_rows=n_rows_t, n_cols=n_cols_t),
+        n_nodes=R)
+
+
 def spmm_halo_bcsr(part: EdgePartition, plan: HaloPlan, tiles: HaloBCSR,
                    h: jax.Array, mesh: Mesh,
                    axis: str = "nodes") -> jax.Array:
-    """out = A @ h: boundary all_to_all + per-shard Pallas BCSR matmul
-    on the MXU (the sharded counterpart of ``ops.pallas_spmm``)."""
-    from ggad_tpu.ops.pallas_spmm import BCSR, BCSRPair, bcsr_spmm_rect
+    """out = A @ h: boundary all_to_all + per-shard Pallas BCSR matmuls
+    on the MXU (the sharded counterpart of ``ops.pallas_spmm``).
+
+    The local-block matmul takes ``h_local`` directly (no dependence on
+    the exchange), so XLA overlaps it with the ``all_to_all``; the
+    remote-tile matmul consumes only the received boundary rows.
+    """
+    from ggad_tpu.ops.pallas_spmm import bcsr_spmm_rect
 
     D, B, R = plan.n_shards, plan.boundary, plan.rows_per_shard
-    tf = tiles.fwd_rows.shape[0] // D
-    tb = tiles.bwd_rows.shape[0] // D
 
-    def local(send_idx, fr, fc, fv, br, bc, bv, h_local):
+    def local(send_idx, lr, lc, lv, ltr, ltc, ltv, fr, fc, fv, br, bc,
+              bv, h_local):
         send = h_local[send_idx.reshape(D, B)]
         recv = jax.lax.all_to_all(send, axis, 0, 0, tiled=True)
-        buf = jnp.concatenate([recv.reshape(D * B, -1), h_local], axis=0)
-        pair = BCSRPair(
-            fwd=BCSR(fr.reshape(tf), fc.reshape(tf),
-                     fv.reshape(tf, *fv.shape[-2:]),
-                     n_rows=tiles.r_pad, n_cols=tiles.c_pad),
-            bwd=BCSR(br.reshape(tb), bc.reshape(tb),
-                     bv.reshape(tb, *bv.shape[-2:]),
-                     n_rows=tiles.c_pad, n_cols=tiles.r_pad),
-            n_nodes=R)
-        return bcsr_spmm_rect(pair, buf, R)
+        pair_loc = _as_pair(lr, lc, lv, tiles.r_pad, tiles.r_pad,
+                            tiles.r_pad, tiles.r_pad, ltr, ltc, ltv, R)
+        out = bcsr_spmm_rect(pair_loc, h_local, R)   # overlaps the a2a
+        pair_rem = _as_pair(fr, fc, fv, tiles.r_pad, tiles.b_pad,
+                            tiles.b_pad, tiles.r_pad, br, bc, bv, R)
+        return out + bcsr_spmm_rect(pair_rem, recv.reshape(D * B, -1), R)
 
     return jax.shard_map(
         local, mesh=mesh,
-        in_specs=(P(axis),) * 8,
+        in_specs=(P(axis),) * 14,
         out_specs=P(axis),
         # pallas_call can't declare varying-mesh-axes metadata yet
         check_vma=False,
-    )(plan.send_idx, tiles.fwd_rows, tiles.fwd_cols, tiles.fwd_vals,
+    )(plan.send_idx, tiles.loc_rows, tiles.loc_cols, tiles.loc_vals,
+      tiles.locT_rows, tiles.locT_cols, tiles.locT_vals,
+      tiles.fwd_rows, tiles.fwd_cols, tiles.fwd_vals,
       tiles.bwd_rows, tiles.bwd_cols, tiles.bwd_vals, h)
 
 
@@ -431,13 +490,11 @@ def affinity_halo_bcsr(part: EdgePartition, plan: HaloPlan,
     per-shard tile sets of the RAW adjacency). Same collectives as
     :func:`affinity_halo`; returns a replicated [N_pad] vector."""
     from ggad_tpu.ops.pallas_sddmm import bcsr_sddmm_colsum_rect
-    from ggad_tpu.ops.pallas_spmm import BCSR, BCSRPair
 
     D, B, R = plan.n_shards, plan.boundary, plan.rows_per_shard
-    tf = tiles.fwd_rows.shape[0] // D
-    tb = tiles.bwd_rows.shape[0] // D
 
-    def local(send_idx, fr, fc, fv, br, bc, bv, den_local, emb_local):
+    def local(send_idx, lr, lc, lv, ltr, ltc, ltv, fr, fc, fv, br, bc,
+              bv, den_local, emb_local):
         sq = jnp.sum(jnp.square(emb_local), axis=-1, keepdims=True)
         pos = sq > 0
         nrm = jnp.sqrt(jnp.where(pos, sq, 1.0))
@@ -445,21 +502,19 @@ def affinity_halo_bcsr(part: EdgePartition, plan: HaloPlan,
 
         send = emb_n[send_idx.reshape(D, B)]
         recv = jax.lax.all_to_all(send, axis, 0, 0, tiled=True)
-        buf = jnp.concatenate([recv.reshape(D * B, -1), emb_n], axis=0)
 
-        pair = BCSRPair(
-            fwd=BCSR(fr.reshape(tf), fc.reshape(tf),
-                     fv.reshape(tf, *fv.shape[-2:]),
-                     n_rows=tiles.r_pad, n_cols=tiles.c_pad),
-            bwd=BCSR(br.reshape(tb), bc.reshape(tb),
-                     bv.reshape(tb, *bv.shape[-2:]),
-                     n_rows=tiles.c_pad, n_cols=tiles.r_pad),
-            n_nodes=R)
-        partial = bcsr_sddmm_colsum_rect(pair, buf, emb_n)   # [C]
+        # local-column SDDMM (independent of the exchange — overlaps it)
+        pair_loc = _as_pair(lr, lc, lv, tiles.r_pad, tiles.r_pad,
+                            tiles.r_pad, tiles.r_pad, ltr, ltc, ltv, R)
+        num = bcsr_sddmm_colsum_rect(pair_loc, emb_n, emb_n)
+        # remote-column SDDMM over the received boundary rows → [D·B]
+        pair_rem = _as_pair(fr, fc, fv, tiles.r_pad, tiles.b_pad,
+                            tiles.b_pad, tiles.r_pad, br, bc, bv, R)
+        partial = bcsr_sddmm_colsum_rect(pair_rem,
+                                         recv.reshape(D * B, -1), emb_n)
 
-        rev = jax.lax.all_to_all(partial[: D * B].reshape(D, B),
-                                 axis, 0, 0, tiled=True)
-        num = partial[D * B:]
+        rev = jax.lax.all_to_all(partial.reshape(D, B), axis, 0, 0,
+                                 tiled=True)
         num = num.at[send_idx.reshape(-1)].add(rev.reshape(-1))
         aff = num * jnp.where(den_local != 0, 1.0 / den_local, 0.0)
         my = jax.lax.axis_index(axis)
@@ -469,10 +524,12 @@ def affinity_halo_bcsr(part: EdgePartition, plan: HaloPlan,
 
     return jax.shard_map(
         local, mesh=mesh,
-        in_specs=(P(axis),) * 9,
+        in_specs=(P(axis),) * 15,
         out_specs=P(),
         check_vma=False,   # pallas_call can't declare vma metadata yet
-    )(plan.send_idx, tiles.fwd_rows, tiles.fwd_cols, tiles.fwd_vals,
+    )(plan.send_idx, tiles.loc_rows, tiles.loc_cols, tiles.loc_vals,
+      tiles.locT_rows, tiles.locT_cols, tiles.locT_vals,
+      tiles.fwd_rows, tiles.fwd_cols, tiles.fwd_vals,
       tiles.bwd_rows, tiles.bwd_cols, tiles.bwd_vals, plan.den, emb)
 
 
