@@ -135,6 +135,13 @@ class FullBatchTrainer:
         # seed-row subgraph: generator aggregation in O(E_seed) both ways
         from ggad_tpu.graph import rows_subgraph
         self.seed_adj = rows_subgraph(self.adj, ds.abnormal_label_idx)
+        # the margin loss reads affinity only at labeled nodes: restrict
+        # the SDDMM to their columns (identical values, O(E_sub) bwd too)
+        from ggad_tpu.ops.sddmm import affinity_subset
+        self.aff_sub = affinity_subset(
+            self.raw_adj, np.concatenate([
+                np.asarray(ds.normal_label_idx, np.int64),
+                np.asarray(ds.abnormal_label_idx, np.int64)]))
         self._halo = None
         if self.mesh is not None:
             from ggad_tpu.parallel.mesh import make_mesh
@@ -198,6 +205,7 @@ class FullBatchTrainer:
         )
 
         ds = self.dataset
+        self.aff_sub = None   # halo mode computes affinity distributed
         use_pallas = (self.spmm_impl == "pallas"
                       or (self.spmm_impl == "auto"
                           and jax.default_backend() == "tpu"))
@@ -223,14 +231,15 @@ class FullBatchTrainer:
         scans: dict = {}
 
         def train_step(params, opt_state, rng, adj, raw_adj, features,
-                       seed_idx, normal_idx, seed_adj=None):
+                       seed_idx, normal_idx, seed_adj=None, aff_sub=None):
             return step1(params, opt_state, rng, setup.part, setup.plan,
                          setup.raw_part, setup.raw_plan, features,
                          seed_idx, normal_idx, setup.tiles,
                          setup.raw_tiles)
 
         def train_scan(params, opt_state, rng, adj, raw_adj, features,
-                       seed_idx, normal_idx, n_steps, seed_adj=None):
+                       seed_idx, normal_idx, n_steps, seed_adj=None,
+                       aff_sub=None):
             if n_steps not in scans:
                 scans[n_steps] = make_halo_train_step(
                     self.tx, self.mesh, n_steps=n_steps, **common)
@@ -266,7 +275,8 @@ class FullBatchTrainer:
         return params, opt_state
 
     def _train_step_impl(self, params, opt_state, rng, adj, raw_adj,
-                         features, seed_idx, normal_idx, seed_adj=None):
+                         features, seed_idx, normal_idx, seed_adj=None,
+                         aff_sub=None):
         def loss_fn(p):
             out = self.model.apply(
                 p, adj, features, seed_idx, normal_idx,
@@ -274,7 +284,7 @@ class FullBatchTrainer:
             losses = ggad_losses(
                 out, raw_adj, seed_idx, normal_idx,
                 confidence_margin=self.confidence_margin,
-                pos_weight=self.pos_weight)
+                pos_weight=self.pos_weight, aff_sub=aff_sub)
             return losses.total, losses
 
         (_, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
@@ -284,14 +294,14 @@ class FullBatchTrainer:
 
     def _train_scan_impl(self, params, opt_state, rng, adj, raw_adj,
                          features, seed_idx, normal_idx, n_steps: int,
-                         seed_adj=None):
+                         seed_adj=None, aff_sub=None):
         """``n_steps`` fused training steps per dispatch (amortizes host
         round-trips; the reference pays a full python epoch per step)."""
         def body(carry, key):
             params, opt_state = carry
             params, opt_state, losses = self._train_step_impl(
                 params, opt_state, key, adj, raw_adj, features, seed_idx,
-                normal_idx, seed_adj)
+                normal_idx, seed_adj, aff_sub)
             return (params, opt_state), losses
 
         keys = jax.random.split(rng, n_steps)
@@ -381,13 +391,13 @@ class FullBatchTrainer:
                 params, opt_state, losses = self._train_scan(
                     params, opt_state, step_rng, self.adj, self.raw_adj,
                     self.features, self.seed_idx, self.normal_idx, chunk,
-                    self.seed_adj)
+                    self.seed_adj, self.aff_sub)
                 epoch += chunk - 1
             else:
                 params, opt_state, losses = self._train_step(
                     params, opt_state, step_rng, self.adj, self.raw_adj,
                     self.features, self.seed_idx, self.normal_idx,
-                    self.seed_adj)
+                    self.seed_adj, self.aff_sub)
             if (self.profile_dir and epoch >= 4
                     and jax.default_backend() == "tpu"
                     and not getattr(self, "_trace_done", False)):

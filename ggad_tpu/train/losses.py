@@ -57,7 +57,13 @@ def ggad_losses(
     w_margin: float = 1.0,
     w_bce: float = 1.0,
     w_rec: float = 1.0,
+    aff_sub=None,
 ) -> GGADLosses:
+    """``aff_sub``: optional precomputed
+    :class:`ggad_tpu.ops.sddmm.AffinitySubset` over
+    ``[normal_idx ‖ seed_idx]`` — the margin only reads the affinity at
+    those nodes, so the SDDMM restricts to their columns (O(E_sub·d)
+    forward AND backward; identical values, tested)."""
     n_normal = normal_idx.shape[0]
     n_seed = seed_idx.shape[0]
 
@@ -69,9 +75,16 @@ def ggad_losses(
     loss_bce = jnp.mean(bce_with_logits(out.logits, labels, pos_weight))
 
     # Local-affinity margin on the post-replacement embedding (run.py:174-205)
-    affinity = node_affinity(raw_adj, out.emb)
-    aff_normal = jnp.mean(affinity[normal_idx])
-    aff_outlier = jnp.mean(affinity[seed_idx])
+    if aff_sub is not None:
+        from ggad_tpu.ops.sddmm import node_affinity_at
+
+        aff = node_affinity_at(aff_sub, out.emb)
+        aff_normal = jnp.mean(aff[:n_normal])
+        aff_outlier = jnp.mean(aff[n_normal:])
+    else:
+        affinity = node_affinity(raw_adj, out.emb)
+        aff_normal = jnp.mean(affinity[normal_idx])
+        aff_outlier = jnp.mean(affinity[seed_idx])
     loss_margin = jnp.maximum(
         confidence_margin - (aff_normal - aff_outlier), 0.0)
 

@@ -346,3 +346,52 @@ def test_train_with_retries_resumes_from_checkpoint(tmp_path):
     assert res is not None
     # resumed run reaches the same final metrics as the clean run
     assert res.final_auc == pytest.approx(ref.final_auc, abs=1e-4)
+
+
+def test_affinity_subset_margin_parity():
+    """The column-restricted affinity gives identical margin loss and
+    gradients to the full SDDMM."""
+    from ggad_tpu.datasets.synthetic import synthetic_gad
+    from ggad_tpu.graph import from_scipy
+    from ggad_tpu.models.ggad import GGAD
+    from ggad_tpu.ops.normalize import normalize_adj_reference
+    from ggad_tpu.ops.sddmm import (
+        affinity_subset,
+        node_affinity,
+        node_affinity_at,
+    )
+    from ggad_tpu.train.losses import ggad_losses
+
+    ds = synthetic_gad(n_nodes=200, avg_degree=7, feat_dim=12, seed=9)
+    adj, raw = normalize_adj_reference(from_scipy(ds.adj))
+    si = jnp.asarray(ds.abnormal_label_idx, jnp.int32)
+    ni = jnp.asarray(ds.normal_label_idx, jnp.int32)
+    sub = affinity_subset(raw, np.concatenate(
+        [ds.normal_label_idx, ds.abnormal_label_idx]))
+
+    emb = jax.random.normal(jax.random.PRNGKey(1), (200, 16))
+    full = np.asarray(node_affinity(raw, emb))
+    at = np.asarray(node_affinity_at(sub, emb))
+    want = full[np.concatenate([ds.normal_label_idx,
+                                ds.abnormal_label_idx])]
+    np.testing.assert_allclose(at, want, rtol=1e-5, atol=1e-6)
+
+    x = jnp.asarray(ds.features, jnp.float32)
+    model = GGAD(n_h=16, noise_mean=0.02, noise_std=0.0)
+    k = jax.random.PRNGKey(0)
+    params = model.init({"params": k, "noise": k}, adj, x, si, ni,
+                        train=True)
+
+    def loss(p, use_sub):
+        out = model.apply(p, adj, x, si, ni, train=True,
+                          rngs={"noise": jax.random.PRNGKey(3)})
+        return ggad_losses(out, raw, si, ni,
+                           aff_sub=sub if use_sub else None).total
+
+    l0, g0 = jax.value_and_grad(lambda p: loss(p, False))(params)
+    l1, g1 = jax.value_and_grad(lambda p: loss(p, True))(params)
+    np.testing.assert_allclose(float(l1), float(l0), rtol=1e-5, atol=1e-6)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5),
+        g1, g0)
