@@ -74,7 +74,7 @@ def bench_tpu_step(ds, *, spmm_dtype="float32", scan_steps=20, n_windows=5):
         params, opt_state, losses = tr._train_scan(
             params, opt_state, step_rng, tr.adj, tr.raw_adj,
             tr.features, tr.seed_idx, tr.normal_idx, n_steps,
-            tr.seed_adj, tr.aff_sub)
+            tr.seed_adj, tr.aff_sub, tr.ax)
         jax.block_until_ready(losses.total)
         return params, opt_state, rng, time.perf_counter() - t0, losses
 

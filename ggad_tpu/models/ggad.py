@@ -56,17 +56,21 @@ class GGAD(nn.Module):
         self.head = MLPHead(hidden=(self.n_h // 2, self.n_h // 4), out=1)
         self.fc4 = DenseNoBias(self.n_h)
 
-    def encode(self, adj: Graph, x: jax.Array) -> jax.Array:
-        return self.gcn2(adj, self.gcn1(adj, x))
+    def encode(self, adj: Graph, x: jax.Array,
+               ax: Optional[jax.Array] = None) -> jax.Array:
+        return self.gcn2(adj, self.gcn1(adj, x, pre_agg=ax))
 
     def __call__(self, adj: Graph, x: jax.Array, seed_idx: jax.Array,
                  normal_idx: jax.Array, train: bool = True,
-                 seed_adj: Optional[Graph] = None) -> GGADOutput:
+                 seed_adj: Optional[Graph] = None,
+                 ax: Optional[jax.Array] = None) -> GGADOutput:
         """``seed_adj``: optional precomputed row-subgraph of ``adj`` at
         ``seed_idx`` (see :func:`ggad_tpu.graph.rows_subgraph`) — the
         generator aggregation then costs O(E_seed) forward AND backward
-        instead of a full SpMM each way. Same math either way."""
-        emb = self.encode(adj, x)
+        instead of a full SpMM each way. ``ax``: optional precomputed
+        ``Â @ x`` — hoists the first layer's aggregation out of the step
+        (features are constant; ``Â(xW₁) = (Âx)W₁``). Same math."""
+        emb = self.encode(adj, x, ax=ax)
 
         # Perturbed seed embeddings (the ego-closeness target).
         noise = (jax.random.normal(self.make_rng("noise"),

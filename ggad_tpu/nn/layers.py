@@ -66,9 +66,18 @@ class GCNLayer(nn.Module):
     spmm_impl: str = "auto"
 
     @nn.compact
-    def __call__(self, adj: Graph, x: jax.Array) -> jax.Array:
-        h = DenseNoBias(self.features, name="fc")(x)
-        out = spmm(adj, h, impl=self.spmm_impl)
+    def __call__(self, adj: Graph, x: jax.Array,
+                 pre_agg: Optional[jax.Array] = None) -> jax.Array:
+        """``pre_agg``: optional precomputed ``Â @ x``. When the layer
+        input is CONSTANT across steps (the first GCN layer's features),
+        ``Â(xW) = (Âx)W`` lets the aggregation hoist out of the training
+        loop entirely — the per-step compute reduces to one dense matmul
+        (no SpMM forward or backward). Same parameters, same math."""
+        if pre_agg is not None:
+            out = DenseNoBias(self.features, name="fc")(pre_agg)
+        else:
+            h = DenseNoBias(self.features, name="fc")(x)
+            out = spmm(adj, h, impl=self.spmm_impl)
         if self.use_bias:
             b = self.param("bias", nn.initializers.zeros,
                            (self.features,), jnp.float32)

@@ -174,6 +174,12 @@ class FullBatchTrainer:
             self.seed_idx = replicate(self.seed_idx, self.mesh)
             self.normal_idx = replicate(self.normal_idx, self.mesh)
 
+        # hoist the first layer's aggregation: features are constant,
+        # so Â@x is computed ONCE (f32-exact XLA path) and the per-step
+        # gcn1 becomes a dense matmul — no SpMM fwd/bwd in layer 1
+        from ggad_tpu.ops.spmm import spmm as _spmm
+        self.ax = _spmm(self.adj, self.features, impl="xla")
+
         self.model = GGAD(n_h=self.embedding_dim,
                           noise_mean=self.noise_mean,
                           noise_std=self.noise_std,
@@ -206,6 +212,7 @@ class FullBatchTrainer:
 
         ds = self.dataset
         self.aff_sub = None   # halo mode computes affinity distributed
+        self.ax = None
         use_pallas = (self.spmm_impl == "pallas"
                       or (self.spmm_impl == "auto"
                           and jax.default_backend() == "tpu"))
@@ -231,7 +238,8 @@ class FullBatchTrainer:
         scans: dict = {}
 
         def train_step(params, opt_state, rng, adj, raw_adj, features,
-                       seed_idx, normal_idx, seed_adj=None, aff_sub=None):
+                       seed_idx, normal_idx, seed_adj=None, aff_sub=None,
+                       ax=None):
             return step1(params, opt_state, rng, setup.part, setup.plan,
                          setup.raw_part, setup.raw_plan, features,
                          seed_idx, normal_idx, setup.tiles,
@@ -239,7 +247,7 @@ class FullBatchTrainer:
 
         def train_scan(params, opt_state, rng, adj, raw_adj, features,
                        seed_idx, normal_idx, n_steps, seed_adj=None,
-                       aff_sub=None):
+                       aff_sub=None, ax=None):
             if n_steps not in scans:
                 scans[n_steps] = make_halo_train_step(
                     self.tx, self.mesh, n_steps=n_steps, **common)
@@ -253,7 +261,7 @@ class FullBatchTrainer:
             tiles=setup.tiles))
 
         def eval_scores(params, rng, adj, features, seed_idx,
-                        normal_idx):
+                        normal_idx, ax=None):
             return eval_jit(params, features)[: ds.n_nodes]
 
         self._train_step = train_step
@@ -276,11 +284,12 @@ class FullBatchTrainer:
 
     def _train_step_impl(self, params, opt_state, rng, adj, raw_adj,
                          features, seed_idx, normal_idx, seed_adj=None,
-                         aff_sub=None):
+                         aff_sub=None, ax=None):
         def loss_fn(p):
             out = self.model.apply(
                 p, adj, features, seed_idx, normal_idx,
-                train=True, seed_adj=seed_adj, rngs={"noise": rng})
+                train=True, seed_adj=seed_adj, ax=ax,
+                rngs={"noise": rng})
             losses = ggad_losses(
                 out, raw_adj, seed_idx, normal_idx,
                 confidence_margin=self.confidence_margin,
@@ -294,14 +303,14 @@ class FullBatchTrainer:
 
     def _train_scan_impl(self, params, opt_state, rng, adj, raw_adj,
                          features, seed_idx, normal_idx, n_steps: int,
-                         seed_adj=None, aff_sub=None):
+                         seed_adj=None, aff_sub=None, ax=None):
         """``n_steps`` fused training steps per dispatch (amortizes host
         round-trips; the reference pays a full python epoch per step)."""
         def body(carry, key):
             params, opt_state = carry
             params, opt_state, losses = self._train_step_impl(
                 params, opt_state, key, adj, raw_adj, features, seed_idx,
-                normal_idx, seed_adj, aff_sub)
+                normal_idx, seed_adj, aff_sub, ax)
             return (params, opt_state), losses
 
         keys = jax.random.split(rng, n_steps)
@@ -311,10 +320,10 @@ class FullBatchTrainer:
         return params, opt_state, last
 
     def _eval_scores_impl(self, params, rng, adj, features, seed_idx,
-                          normal_idx):
+                          normal_idx, ax=None):
         out = self.model.apply(
             params, adj, features, seed_idx, normal_idx,
-            train=False, rngs={"noise": rng})
+            train=False, ax=ax, rngs={"noise": rng})
         return out.logits[:, 0]
 
     # ------------------------------------------------------------------
@@ -333,7 +342,8 @@ class FullBatchTrainer:
             self._auc_mask = jnp.asarray(mask)
             self._train_auc_jit = jax.jit(roc_auc_jnp)
         scores = self._eval_scores(params, rng, self.adj, self.features,
-                                   self.seed_idx, self.normal_idx)
+                                   self.seed_idx, self.normal_idx,
+                                   self.ax)
         return float(self._train_auc_jit(self._auc_labels, scores,
                                          self._auc_mask))
 
@@ -342,7 +352,7 @@ class FullBatchTrainer:
             rng = jax.random.PRNGKey(0)
         scores = np.asarray(self._eval_scores(
             params, rng, self.adj, self.features, self.seed_idx,
-            self.normal_idx))
+            self.normal_idx, self.ax))
         ds = self.dataset
         idx = {"test": ds.idx_test, "val": ds.idx_val,
                "train": ds.idx_train}[subset]
@@ -391,13 +401,13 @@ class FullBatchTrainer:
                 params, opt_state, losses = self._train_scan(
                     params, opt_state, step_rng, self.adj, self.raw_adj,
                     self.features, self.seed_idx, self.normal_idx, chunk,
-                    self.seed_adj, self.aff_sub)
+                    self.seed_adj, self.aff_sub, self.ax)
                 epoch += chunk - 1
             else:
                 params, opt_state, losses = self._train_step(
                     params, opt_state, step_rng, self.adj, self.raw_adj,
                     self.features, self.seed_idx, self.normal_idx,
-                    self.seed_adj, self.aff_sub)
+                    self.seed_adj, self.aff_sub, self.ax)
             if (self.profile_dir and epoch >= 4
                     and jax.default_backend() == "tpu"
                     and not getattr(self, "_trace_done", False)):

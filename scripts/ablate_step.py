@@ -98,6 +98,14 @@ def main():
     rows["l2_normalize"] = timed_scan(
         lambda c: l2_normalize_rows(c) * 0.5 + c * 0.5, h, args.k)
 
+    # subset affinity (the production margin path) fwd+bwd
+    from ggad_tpu.ops.sddmm import affinity_subset, node_affinity_at
+    sub = affinity_subset(raw_g, np.concatenate(
+        [ds.normal_label_idx, ds.abnormal_label_idx]))
+    g_sub = jax.grad(lambda c: jnp.sum(node_affinity_at(sub, c)) * 1e-6)
+    rows["affinity_subset_fwd_bwd"] = timed_scan(
+        lambda c: g_sub(c) * 1e-3 + c * 0.5, h, args.k)
+
     # full training step for reference
     tr = FullBatchTrainer(ds, num_epoch=1, noise_mean=0.02,
                           noise_std=0.01, embedding_dim=300,
@@ -110,7 +118,7 @@ def main():
         key, sub = jax.random.split(key)
         params, opt_state, _ = tr._train_step_impl(
             params, opt_state, sub, tr.adj, tr.raw_adj, tr.features,
-            tr.seed_idx, tr.normal_idx, tr.seed_adj)
+            tr.seed_idx, tr.normal_idx, tr.seed_adj, tr.aff_sub)
         return params, opt_state, key
 
     rows["full_step"] = timed_scan(full, (params, opt_state, rng),

@@ -395,3 +395,39 @@ def test_affinity_subset_margin_parity():
         lambda a, b: np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5),
         g1, g0)
+
+
+def test_precomputed_ax_parity():
+    """(Â@x)@W1 == Â@(xW1): the hoisted first-layer aggregation gives
+    the same losses and gradients as the in-step SpMM."""
+    from ggad_tpu.datasets.synthetic import synthetic_gad
+    from ggad_tpu.graph import from_scipy
+    from ggad_tpu.models.ggad import GGAD
+    from ggad_tpu.ops.normalize import normalize_adj_reference
+    from ggad_tpu.ops.spmm import spmm
+    from ggad_tpu.train.losses import ggad_losses
+
+    ds = synthetic_gad(n_nodes=180, avg_degree=7, feat_dim=20, seed=11)
+    adj, raw = normalize_adj_reference(from_scipy(ds.adj))
+    x = jnp.asarray(ds.features, jnp.float32)
+    ax = spmm(adj, x, impl="xla")
+    si = jnp.asarray(ds.abnormal_label_idx, jnp.int32)
+    ni = jnp.asarray(ds.normal_label_idx, jnp.int32)
+    model = GGAD(n_h=16, noise_mean=0.02, noise_std=0.0)
+    k = jax.random.PRNGKey(0)
+    params = model.init({"params": k, "noise": k}, adj, x, si, ni,
+                        train=True)
+
+    def loss(p, use_ax):
+        out = model.apply(p, adj, x, si, ni, train=True,
+                          ax=ax if use_ax else None,
+                          rngs={"noise": jax.random.PRNGKey(3)})
+        return ggad_losses(out, raw, si, ni).total
+
+    l0, g0 = jax.value_and_grad(lambda p: loss(p, False))(params)
+    l1, g1 = jax.value_and_grad(lambda p: loss(p, True))(params)
+    np.testing.assert_allclose(float(l1), float(l0), rtol=1e-5, atol=1e-5)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-4, atol=1e-4),
+        g1, g0)
