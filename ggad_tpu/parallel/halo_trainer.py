@@ -63,6 +63,7 @@ def halo_ggad_forward_and_losses(
     *,
     tiles: HaloBCSR | None = None,
     raw_tiles: HaloBCSR | None = None,
+    ax: jax.Array | None = None,
     confidence_margin: float = 0.7,
     pos_weight: float = 1.0,
 ) -> GGADLosses:
@@ -81,13 +82,19 @@ def halo_ggad_forward_and_losses(
             return spmm_halo_bcsr(part, plan, tiles, h, mesh, axis)
         return spmm_halo(part, plan, h, mesh, axis)
 
-    def gcn(name, h):
-        hw = jnp.dot(h, pr[name]["fc"]["kernel"],
-                     preferred_element_type=jnp.float32)
-        agg = halo_mm(hw) + pr[name]["bias"]
+    def gcn(name, h, pre_agg=None):
+        if pre_agg is not None:
+            # Â(xW) = (Âx)W — the hoisted first-layer aggregation
+            agg = jnp.dot(pre_agg, pr[name]["fc"]["kernel"],
+                          preferred_element_type=jnp.float32) \
+                + pr[name]["bias"]
+        else:
+            hw = jnp.dot(h, pr[name]["fc"]["kernel"],
+                         preferred_element_type=jnp.float32)
+            agg = halo_mm(hw) + pr[name]["bias"]
         return _prelu(agg, pr[name]["prelu"]["alpha"])
 
-    emb = gcn("gcn2", gcn("gcn1", x_pad))
+    emb = gcn("gcn2", gcn("gcn1", x_pad, pre_agg=ax))
     emb_abnormal = emb[seed_idx] + noise
 
     # generated outliers from neighborhood aggregates (model.py:151-156)
@@ -176,7 +183,7 @@ def make_halo_train_step(
     ``tiles`` (HaloBCSR) to run the SpMMs on the MXU."""
 
     def one_step(params, opt_state, key, part, plan, raw_part, raw_plan,
-                 x_pad, seed_idx, normal_idx, tiles, raw_tiles):
+                 x_pad, seed_idx, normal_idx, tiles, raw_tiles, ax):
         noise = (jax.random.normal(key, (seed_idx.shape[0], n_h))
                  * noise_std + noise_mean)
 
@@ -184,7 +191,7 @@ def make_halo_train_step(
             losses = halo_ggad_forward_and_losses(
                 p, part, plan, x_pad, seed_idx, normal_idx, noise,
                 raw_part, raw_plan, mesh, axis, tiles=tiles,
-                raw_tiles=raw_tiles,
+                raw_tiles=raw_tiles, ax=ax,
                 confidence_margin=confidence_margin,
                 pos_weight=pos_weight)
             return losses.total, losses
@@ -196,18 +203,19 @@ def make_halo_train_step(
         return params, opt_state, losses
 
     def step(params, opt_state, rng, part, plan, raw_part, raw_plan,
-             x_pad, seed_idx, normal_idx, tiles=None, raw_tiles=None):
+             x_pad, seed_idx, normal_idx, tiles=None, raw_tiles=None,
+             ax=None):
         if n_steps == 1:
             rng, key = jax.random.split(rng)
             return one_step(params, opt_state, key, part, plan, raw_part,
                             raw_plan, x_pad, seed_idx, normal_idx, tiles,
-                            raw_tiles)
+                            raw_tiles, ax)
 
         def body(carry, key):
             params, opt_state = carry
             params, opt_state, losses = one_step(
                 params, opt_state, key, part, plan, raw_part, raw_plan,
-                x_pad, seed_idx, normal_idx, tiles, raw_tiles)
+                x_pad, seed_idx, normal_idx, tiles, raw_tiles, ax)
             return (params, opt_state), losses
 
         keys = jax.random.split(rng, n_steps)
@@ -229,6 +237,7 @@ class HaloSetup:
     normal_idx: jax.Array
     tiles: HaloBCSR | None = None
     raw_tiles: HaloBCSR | None = None
+    ax: jax.Array | None = None   # precomputed Â@x (hoisted layer 1)
 
 
 def prepare_halo(dataset, mesh: Mesh, axis: str = "nodes",
@@ -269,8 +278,14 @@ def prepare_halo(dataset, mesh: Mesh, axis: str = "nodes",
         jnp.asarray(dataset.abnormal_label_idx, jnp.int32), repl)
     normal_idx = jax.device_put(
         jnp.asarray(dataset.normal_label_idx, jnp.int32), repl)
+    # hoist the first-layer aggregation (features are constant): one
+    # halo SpMM now instead of one per step
+    if spmm_impl == "pallas":
+        ax = spmm_halo_bcsr(part, plan, tiles, x_pad, mesh, axis)
+    else:
+        ax = spmm_halo(part, plan, x_pad, mesh, axis)
     return HaloSetup(part, plan, raw_part, raw_plan, x_pad, seed_idx,
-                     normal_idx, tiles, raw_tiles)
+                     normal_idx, tiles, raw_tiles, ax)
 
 
 def halo_training_run(mesh: Mesh, dataset, *, n_h: int = 64,
@@ -311,6 +326,6 @@ def halo_training_run(mesh: Mesh, dataset, *, n_h: int = 64,
         params, opt_state, losses = step(
             params, opt_state, step_rng, setup.part, setup.plan,
             setup.raw_part, setup.raw_plan, setup.x_pad, setup.seed_idx,
-            setup.normal_idx, setup.tiles, setup.raw_tiles)
+            setup.normal_idx, setup.tiles, setup.raw_tiles, setup.ax)
     jax.block_until_ready(losses.total)
     return params, losses

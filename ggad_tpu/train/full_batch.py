@@ -243,7 +243,7 @@ class FullBatchTrainer:
             return step1(params, opt_state, rng, setup.part, setup.plan,
                          setup.raw_part, setup.raw_plan, features,
                          seed_idx, normal_idx, setup.tiles,
-                         setup.raw_tiles)
+                         setup.raw_tiles, setup.ax)
 
         def train_scan(params, opt_state, rng, adj, raw_adj, features,
                        seed_idx, normal_idx, n_steps, seed_adj=None,
@@ -254,7 +254,7 @@ class FullBatchTrainer:
             return scans[n_steps](
                 params, opt_state, rng, setup.part, setup.plan,
                 setup.raw_part, setup.raw_plan, features, seed_idx,
-                normal_idx, setup.tiles, setup.raw_tiles)
+                normal_idx, setup.tiles, setup.raw_tiles, setup.ax)
 
         eval_jit = jax.jit(lambda params, x_pad: halo_ggad_eval_scores(
             params, setup.part, setup.plan, x_pad, self.mesh,

@@ -111,7 +111,7 @@ def time_step(ds, d, n_h, iters=10, spmm_impl="xla",
         params, opt_state, losses = steps[k](
             params, opt_state, key, setup.part, setup.plan,
             setup.raw_part, setup.raw_plan, setup.x_pad, setup.seed_idx,
-            setup.normal_idx, setup.tiles, setup.raw_tiles)
+            setup.normal_idx, setup.tiles, setup.raw_tiles, setup.ax)
         jax.block_until_ready(losses.total)
         return params, opt_state, rng, time.perf_counter() - t0
 
