@@ -63,6 +63,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--dist_impl", type=str, default="halo",
                    choices=["halo", "gspmd"],
                    help="multi-device schedule for --mesh_devices")
+    p.add_argument("--dist_schedule", type=str, default="dense",
+                   choices=["dense", "ring"],
+                   help="halo wire schedule: dense = one all_to_all "
+                        "(global-max padding), ring = per-distance-padded "
+                        "ppermute hops (less wire volume at high device "
+                        "counts / skewed boundaries)")
     p.add_argument("--score_only", action="store_true",
                    help="restore --checkpoint_dir and score the dataset "
                         "instead of training (ggad only)")
@@ -142,6 +148,7 @@ def main(argv=None) -> int:
                 logger=logger.log if logger else None,
                 mesh=args.mesh_devices,
                 dist_impl=args.dist_impl,
+                dist_schedule=args.dist_schedule,
             )
 
         res = train_with_retries(make_trainer, retries=args.retries,

@@ -242,12 +242,16 @@ class HaloSetup:
 
 def prepare_halo(dataset, mesh: Mesh, axis: str = "nodes",
                  spmm_impl: str = "xla",
-                 spmm_dtype: str = "float32") -> HaloSetup:
+                 spmm_dtype: str = "float32",
+                 schedule: str = "dense") -> HaloSetup:
     """Partition + plan both graphs of a GAD dataset and place on mesh.
 
     ``spmm_impl='pallas'`` also builds the per-shard BCSR tile sets so
     the encoder/generator SpMMs run on the MXU (``spmm_dtype='bfloat16'``
-    for the quality-cleared 1-pass fast mode)."""
+    for the quality-cleared 1-pass fast mode). ``schedule='ring'``
+    switches the exchange to per-distance-padded ppermute hops (ships
+    Σ_k B_k boundary rows instead of (D−1)·B_max — see
+    ``spmm_shard.HaloPlan``)."""
     from ggad_tpu.graph import from_scipy
     from ggad_tpu.ops.normalize import normalize_adj_reference
 
@@ -256,8 +260,8 @@ def prepare_halo(dataset, mesh: Mesh, axis: str = "nodes",
     n_dev = int(np.prod(list(mesh.shape.values())))
     part = partition_edges(adj, n_dev)
     raw_part = partition_edges(raw_adj, n_dev)
-    plan_host = build_halo_plan(part)
-    raw_plan_host = build_halo_plan(raw_part)
+    plan_host = build_halo_plan(part, schedule=schedule)
+    raw_plan_host = build_halo_plan(raw_part, schedule=schedule)
     tiles = raw_tiles = None
     if spmm_impl == "pallas":
         tiles = place_halo_bcsr(
@@ -293,7 +297,8 @@ def halo_training_run(mesh: Mesh, dataset, *, n_h: int = 64,
                       noise_std: float = 0.01, seed: int = 0,
                       n_steps: int = 1, steps_per_dispatch: int = 1,
                       spmm_impl: str = "xla",
-                      spmm_dtype: str = "float32"):
+                      spmm_dtype: str = "float32",
+                      schedule: str = "dense"):
     """Build + run the halo-distributed GGAD training loop; returns the
     final losses pytree. Used by the multichip dry-run and the scaling
     harness."""
@@ -303,7 +308,7 @@ def halo_training_run(mesh: Mesh, dataset, *, n_h: int = 64,
     from ggad_tpu.parallel.full_batch import replicate
 
     setup = prepare_halo(dataset, mesh, spmm_impl=spmm_impl,
-                         spmm_dtype=spmm_dtype)
+                         spmm_dtype=spmm_dtype, schedule=schedule)
     # identical param tree to the single-device flax model
     adj, _ = normalize_adj_reference(from_scipy(dataset.adj))
     model = GGAD(n_h=n_h, noise_mean=noise_mean, noise_std=noise_std)

@@ -151,23 +151,38 @@ def spmm_sharded(part: EdgePartition, h: jax.Array, mesh: Mesh,
 class HaloPlan:
     """Precomputed boundary-exchange schedule for one (graph, D) pair.
 
-    ``send_idx`` [D, D·B]: row s (sharded) holds, per requester d, the B
-    local row ids shard s must send to d — ordered by d's request list,
-    zero-padded. The diagonal block is unused (local rows never ride the
-    exchange).
+    Two wire schedules share the same buffer/remap layout contract:
+
+    **dense** (``dist_widths == ()``): one ``all_to_all`` with every
+    ordered peer pair padded to the GLOBAL max boundary width B.
+    ``send_idx`` [D, D·B]: row s holds, per requester d, the B local row
+    ids shard s must send to d. Recv buffer layout: source s's chunk at
+    ``s·B``.
+
+    **ring** (``dist_widths = (B_1, …, B_{D-1})``): D−1 ``ppermute``
+    hops; hop k ships shard s's chunk for destination (s+k) mod D,
+    padded only to B_k = max over shards of that DISTANCE's boundary
+    (zero-width distances are skipped entirely). Comm per device is
+    Σ_k B_k rows instead of (D−1)·B — on graphs whose partition
+    boundaries are skewed across peer pairs this is the
+    "variable-size exchange" lever (docs/PERF.md). Send and recv
+    buffers are both laid out by hop: chunk k at ``offset_k =
+    Σ_{j<k} B_j``; on shard d hop k's recv chunk comes from source
+    (d−k) mod D.
 
     ``col_remap`` [D·E_shard] (sharded like the edge arrays): for each
     edge, the position of its column's feature row in the local combined
-    buffer ``[recv(D·B rows) ‖ h_local(rows_per rows)]`` — remote columns
-    map to ``owner·B + rank-in-request``, local columns to
-    ``D·B + local_id``, padding edges to ``D·B`` (row 0 · val 0).
+    buffer ``[recv(buf_width rows) ‖ h_local(rows_per rows)]`` — remote
+    columns map to their source chunk's offset + rank-in-request, local
+    columns to ``buf_width + local_id``, padding edges to ``buf_width``
+    (row 0 · val 0).
 
     ``den`` [D·rows_per] (sharded): per-node column-sum of edge values
     (the affinity denominator), precomputed so the affinity needs no
     extra reduction.
 
     ``boundary`` = B = max over ordered peer pairs of the unique remote
-    columns requested — the halo width that sets the comm volume.
+    columns requested — the dense schedule's halo width.
     """
 
     send_idx: jax.Array
@@ -176,10 +191,73 @@ class HaloPlan:
     n_shards: int = dataclasses.field(metadata=dict(static=True))
     boundary: int = dataclasses.field(metadata=dict(static=True))
     rows_per_shard: int = dataclasses.field(metadata=dict(static=True))
+    dist_widths: tuple = dataclasses.field(
+        default=(), metadata=dict(static=True))
+
+    @property
+    def buf_width(self) -> int:
+        """Rows in the packed send/recv exchange buffers."""
+        if self.dist_widths:
+            return int(sum(self.dist_widths))
+        return self.n_shards * self.boundary
 
 
-def build_halo_plan(part: EdgePartition) -> HaloPlan:
-    """Host-side: per-peer boundary sets + edge remap for ``part``."""
+def _halo_exchange(plan: HaloPlan, send: jax.Array, axis: str) -> jax.Array:
+    """Wire the packed [buf_width, ...] send buffer to its peers; returns
+    the packed recv buffer (same layout contract as ``HaloPlan``). Runs
+    inside a shard_map body. Differentiable: shard_map transposes
+    ``all_to_all``/``ppermute`` to their inverses."""
+    D = plan.n_shards
+    tail = send.shape[1:]
+    if not plan.dist_widths:
+        B = plan.boundary
+        recv = jax.lax.all_to_all(send.reshape((D, B) + tail), axis, 0, 0,
+                                  tiled=True)
+        return recv.reshape((D * B,) + tail)
+    parts, off = [], 0
+    for k, bk in enumerate(plan.dist_widths, start=1):
+        if bk == 0:
+            continue
+        perm = [(s, (s + k) % D) for s in range(D)]
+        parts.append(jax.lax.ppermute(send[off:off + bk], axis, perm))
+        off += bk
+    if not parts:
+        return jnp.zeros((0,) + tail, send.dtype)
+    return jnp.concatenate(parts, axis=0)
+
+
+def _halo_exchange_rev(plan: HaloPlan, buf: jax.Array,
+                       axis: str) -> jax.Array:
+    """Reverse wire: ship a recv-layout [buf_width, ...] buffer back so
+    each shard gets chunks aligned with its OWN send layout (used by the
+    affinity's per-column partial-sum return trip)."""
+    D = plan.n_shards
+    tail = buf.shape[1:]
+    if not plan.dist_widths:
+        B = plan.boundary
+        rev = jax.lax.all_to_all(buf.reshape((D, B) + tail), axis, 0, 0,
+                                 tiled=True)
+        return rev.reshape((D * B,) + tail)
+    parts, off = [], 0
+    for k, bk in enumerate(plan.dist_widths, start=1):
+        if bk == 0:
+            continue
+        perm = [(d, (d - k) % D) for d in range(D)]
+        parts.append(jax.lax.ppermute(buf[off:off + bk], axis, perm))
+        off += bk
+    if not parts:
+        return jnp.zeros((0,) + tail, buf.dtype)
+    return jnp.concatenate(parts, axis=0)
+
+
+def build_halo_plan(part: EdgePartition,
+                    schedule: str = "dense") -> HaloPlan:
+    """Host-side: per-peer boundary sets + edge remap for ``part``.
+
+    ``schedule``: ``'dense'`` (one all_to_all, global-max padding) or
+    ``'ring'`` (D−1 ppermute hops, per-distance padding — ships only
+    Σ_k B_k rows; see :class:`HaloPlan`).
+    """
     D, E, R = part.n_shards, part.e_shard, part.rows_per_shard
     col = np.asarray(part.col).reshape(D, E)
     val = np.asarray(part.val).reshape(D, E)
@@ -196,36 +274,84 @@ def build_halo_plan(part: EdgePartition) -> HaloPlan:
             req[d][s] = u
             B = max(B, len(u))
 
-    send_idx = np.zeros((D, D, B), np.int32)
-    for d in range(D):
-        for s in range(D):
-            if s == d:
-                continue
-            u = req[d][s]
-            send_idx[s, d, : len(u)] = u - s * R
+    if schedule == "ring" and D == 1:
+        schedule = "dense"   # no peers, no wire — schedules coincide
+    if schedule == "ring":
+        # per-distance widths: hop k serves s → (s+k) mod D for all s.
+        # Exact (no alignment padding): the wire/lane dim is the feature
+        # axis, so any chunk row count works, and Σ_k max_s |req| ≤
+        # (D−1)·B makes ring ≤ dense by construction.
+        widths = []
+        for k in range(1, D):
+            widths.append(max(len(req[(s + k) % D][s]) for s in range(D)))
+        if not any(widths):
+            widths[0] = 8   # degenerate block-diagonal graph
+        offsets = np.zeros(D, np.int64)   # offsets[k] for k>=1
+        acc = 0
+        for k in range(1, D):
+            offsets[k] = acc
+            acc += widths[k - 1]
+        W = acc
 
-    col_remap = np.full((D, E), D * B, np.int32)   # default: padding slot
-    for d in range(D):
-        live = val[d] != 0
-        owner = col[d] // R
-        m = live & (owner == d)
-        col_remap[d, m] = D * B + (col[d][m] - d * R)
+        send_idx = np.zeros((D, W), np.int32)
         for s in range(D):
-            if s == d:
-                continue
-            m = live & (owner == s)
-            if not m.any():
-                continue
-            col_remap[d, m] = s * B + np.searchsorted(req[d][s], col[d][m])
+            for k in range(1, D):
+                d = (s + k) % D
+                u = req[d][s]
+                o = offsets[k]
+                send_idx[s, o: o + len(u)] = u - s * R
+
+        col_remap = np.full((D, E), W, np.int32)
+        for d in range(D):
+            live = val[d] != 0
+            owner = col[d] // R
+            m = live & (owner == d)
+            col_remap[d, m] = W + (col[d][m] - d * R)
+            for k in range(1, D):
+                s = (d - k) % D
+                m = live & (owner == s)
+                if not m.any():
+                    continue
+                col_remap[d, m] = offsets[k] + np.searchsorted(
+                    req[d][s], col[d][m])
+        dist_widths = tuple(int(w) for w in widths)
+    elif schedule == "dense":
+        send_idx = np.zeros((D, D, B), np.int32)
+        for d in range(D):
+            for s in range(D):
+                if s == d:
+                    continue
+                u = req[d][s]
+                send_idx[s, d, : len(u)] = u - s * R
+        send_idx = send_idx.reshape(D, D * B)
+
+        col_remap = np.full((D, E), D * B, np.int32)  # padding slot
+        for d in range(D):
+            live = val[d] != 0
+            owner = col[d] // R
+            m = live & (owner == d)
+            col_remap[d, m] = D * B + (col[d][m] - d * R)
+            for s in range(D):
+                if s == d:
+                    continue
+                m = live & (owner == s)
+                if not m.any():
+                    continue
+                col_remap[d, m] = s * B + np.searchsorted(
+                    req[d][s], col[d][m])
+        dist_widths = ()
+    else:
+        raise ValueError(f"unknown halo schedule: {schedule!r}")
 
     den = np.zeros(part.n_pad, np.float32)
     np.add.at(den, col.reshape(-1), val.reshape(-1))
 
     return HaloPlan(
-        send_idx=jnp.asarray(send_idx.reshape(D, D * B)),
+        send_idx=jnp.asarray(send_idx),
         col_remap=jnp.asarray(col_remap.reshape(-1)),
         den=jnp.asarray(den),
         n_shards=D, boundary=B, rows_per_shard=R,
+        dist_widths=dist_widths,
     )
 
 
@@ -245,11 +371,17 @@ def halo_comm_stats(plan: HaloPlan, feat_dim: int,
     """Per-device, per-call comm volume of the halo schedule vs the full
     all-gather (documentation + the comm-volume test's oracle)."""
     D, B, R = plan.n_shards, plan.boundary, plan.rows_per_shard
+    if plan.dist_widths:
+        wire_rows = int(sum(plan.dist_widths))   # Σ_k B_k per device
+    else:
+        wire_rows = (D - 1) * B
     return {
         "n_shards": D,
         "boundary_rows": B,
-        "spmm_halo_bytes": (D - 1) * B * feat_dim * dtype_bytes,
-        "affinity_halo_bytes": (D - 1) * B * (feat_dim + 1) * dtype_bytes
+        "wire_rows": wire_rows,
+        "schedule": "ring" if plan.dist_widths else "dense",
+        "spmm_halo_bytes": wire_rows * feat_dim * dtype_bytes,
+        "affinity_halo_bytes": wire_rows * (feat_dim + 1) * dtype_bytes
         + D * R * dtype_bytes,   # + the [N] result all-gather
         "allgather_bytes": (D - 1) * R * feat_dim * dtype_bytes * D,
     }
@@ -262,24 +394,23 @@ def spmm_halo(part: EdgePartition, plan: HaloPlan, h: jax.Array,
 
     The local-column contribution is computed as a SEPARATE term that
     does not depend on the received buffer, so XLA's latency-hiding
-    scheduler can overlap it with the ``all_to_all``.
+    scheduler can overlap it with the exchange.
     """
-    D, B, R = plan.n_shards, plan.boundary, plan.rows_per_shard
+    R, W = plan.rows_per_shard, plan.buf_width
 
     def local(send_idx, col_remap, row_local, val, h_local):
-        send = h_local[send_idx.reshape(D, B)]          # [D, B, f]
-        recv = jax.lax.all_to_all(send, axis, 0, 0, tiled=True)
+        send = h_local[send_idx.reshape(-1)]            # [W, f]
+        buf = _halo_exchange(plan, send, axis)          # [W, f]
         # local term: edges whose buffer position is in the local block
-        # (col_remap >= D·B); masked val keeps shapes static
-        is_local = col_remap >= D * B
-        local_cols = jnp.where(is_local, col_remap - D * B, 0)
+        # (col_remap >= W); masked val keeps shapes static
+        is_local = col_remap >= W
+        local_cols = jnp.where(is_local, col_remap - W, 0)
         lv = jnp.where(is_local, val, 0.0)
         out = jax.ops.segment_sum(h_local[local_cols] * lv[:, None],
                                   row_local, num_segments=R)
         # remote term: gathers from the received boundary rows
         remote_cols = jnp.where(is_local, 0, col_remap)
         rv = jnp.where(is_local, 0.0, val)
-        buf = recv.reshape(D * B, -1)
         out = out + jax.ops.segment_sum(buf[remote_cols] * rv[:, None],
                                         row_local, num_segments=R)
         return out
@@ -330,8 +461,8 @@ def build_halo_bcsr(part: EdgePartition, plan: HaloPlan,
     (``dtype=bfloat16`` for the 1-pass MXU fast mode)."""
     from ggad_tpu.ops.pallas_spmm import TILE, bcsr_rect_from_coo
 
-    D, E, R, B = (part.n_shards, part.e_shard, part.rows_per_shard,
-                  plan.boundary)
+    D, E, R, W = (part.n_shards, part.e_shard, part.rows_per_shard,
+                  plan.buf_width)
     rl = np.asarray(part.row_local).reshape(D, E)
     cr = np.asarray(plan.col_remap).reshape(D, E)
     vv = np.asarray(part.val).reshape(D, E)
@@ -341,17 +472,17 @@ def build_halo_bcsr(part: EdgePartition, plan: HaloPlan,
 
     loc, locT, fwd, bwd = [], [], [], []
     for d in range(D):
-        is_local = cr[d] >= D * B
-        lc = np.where(is_local, cr[d] - D * B, 0)
+        is_local = cr[d] >= W
+        lc = np.where(is_local, cr[d] - W, 0)
         lv = np.where(is_local, vv[d], 0.0).astype(np.float32)
         rv = np.where(is_local, 0.0, vv[d]).astype(np.float32)
         loc.append(bcsr_rect_from_coo(rl[d], lc, lv, R, R,
                                       dtype=np_dtype))
         locT.append(bcsr_rect_from_coo(lc, rl[d], lv, R, R,
                                        dtype=np_dtype))
-        fwd.append(bcsr_rect_from_coo(rl[d], cr[d], rv, R, D * B,
+        fwd.append(bcsr_rect_from_coo(rl[d], cr[d], rv, R, W,
                                       dtype=np_dtype))
-        bwd.append(bcsr_rect_from_coo(cr[d], rl[d], rv, D * B, R,
+        bwd.append(bcsr_rect_from_coo(cr[d], rl[d], rv, W, R,
                                       dtype=np_dtype))
 
     def stack(blocks):
@@ -415,18 +546,18 @@ def spmm_halo_bcsr(part: EdgePartition, plan: HaloPlan, tiles: HaloBCSR,
     """
     from ggad_tpu.ops.pallas_spmm import bcsr_spmm_rect
 
-    D, B, R = plan.n_shards, plan.boundary, plan.rows_per_shard
+    R = plan.rows_per_shard
 
     def local(send_idx, lr, lc, lv, ltr, ltc, ltv, fr, fc, fv, br, bc,
               bv, h_local):
-        send = h_local[send_idx.reshape(D, B)]
-        recv = jax.lax.all_to_all(send, axis, 0, 0, tiled=True)
+        send = h_local[send_idx.reshape(-1)]
+        buf = _halo_exchange(plan, send, axis)
         pair_loc = _as_pair(lr, lc, lv, tiles.r_pad, tiles.r_pad,
                             tiles.r_pad, tiles.r_pad, ltr, ltc, ltv, R)
-        out = bcsr_spmm_rect(pair_loc, h_local, R)   # overlaps the a2a
+        out = bcsr_spmm_rect(pair_loc, h_local, R)   # overlaps the wire
         pair_rem = _as_pair(fr, fc, fv, tiles.r_pad, tiles.b_pad,
                             tiles.b_pad, tiles.r_pad, br, bc, bv, R)
-        return out + bcsr_spmm_rect(pair_rem, recv.reshape(D * B, -1), R)
+        return out + bcsr_spmm_rect(pair_rem, buf, R)
 
     return jax.shard_map(
         local, mesh=mesh,
@@ -446,7 +577,7 @@ def affinity_halo(part: EdgePartition, plan: HaloPlan, emb: jax.Array,
     ride the forward halo; per-column scalar partials ride it back to
     the column's owner. Returns a REPLICATED [N_pad] vector (the final
     all-gather moves N scalars, not N·d)."""
-    D, B, R = plan.n_shards, plan.boundary, plan.rows_per_shard
+    D, R, W = plan.n_shards, plan.rows_per_shard, plan.buf_width
 
     def local(send_idx, col_remap, row_local, val, den_local, emb_local):
         # guard inside the sqrt: zero rows (node padding) must not NaN
@@ -455,17 +586,16 @@ def affinity_halo(part: EdgePartition, plan: HaloPlan, emb: jax.Array,
         pos = sq > 0
         nrm = jnp.sqrt(jnp.where(pos, sq, 1.0))
         emb_n = emb_local * jnp.where(pos, 1.0 / nrm, 0.0)
-        send = emb_n[send_idx.reshape(D, B)]
-        recv = jax.lax.all_to_all(send, axis, 0, 0, tiled=True)
-        buf = jnp.concatenate([recv.reshape(D * B, -1), emb_n], axis=0)
+        send = emb_n[send_idx.reshape(-1)]
+        recv = _halo_exchange(plan, send, axis)
+        buf = jnp.concatenate([recv, emb_n], axis=0)
         cos = jnp.einsum("ed,ed->e", emb_n[row_local], buf[col_remap]) * val
         partial = jax.ops.segment_sum(cos, col_remap,
-                                      num_segments=D * B + R)
-        rev = jax.lax.all_to_all(partial[: D * B].reshape(D, B),
-                                 axis, 0, 0, tiled=True)
-        num = partial[D * B:]
+                                      num_segments=W + R)
+        rev = _halo_exchange_rev(plan, partial[:W], axis)
+        num = partial[W:]
         # pad send slots point at row 0 but their rev entries are 0
-        num = num.at[send_idx.reshape(-1)].add(rev.reshape(-1))
+        num = num.at[send_idx.reshape(-1)].add(rev)
         aff = num * jnp.where(den_local != 0, 1.0 / den_local, 0.0)
         # replicate the [N] result (N scalars, not N·d): place the local
         # slice and all-reduce — psum is statically replication-safe
@@ -491,7 +621,7 @@ def affinity_halo_bcsr(part: EdgePartition, plan: HaloPlan,
     :func:`affinity_halo`; returns a replicated [N_pad] vector."""
     from ggad_tpu.ops.pallas_sddmm import bcsr_sddmm_colsum_rect
 
-    D, B, R = plan.n_shards, plan.boundary, plan.rows_per_shard
+    D, R, W = plan.n_shards, plan.rows_per_shard, plan.buf_width
 
     def local(send_idx, lr, lc, lv, ltr, ltc, ltv, fr, fc, fv, br, bc,
               bv, den_local, emb_local):
@@ -500,22 +630,20 @@ def affinity_halo_bcsr(part: EdgePartition, plan: HaloPlan,
         nrm = jnp.sqrt(jnp.where(pos, sq, 1.0))
         emb_n = emb_local * jnp.where(pos, 1.0 / nrm, 0.0)
 
-        send = emb_n[send_idx.reshape(D, B)]
-        recv = jax.lax.all_to_all(send, axis, 0, 0, tiled=True)
+        send = emb_n[send_idx.reshape(-1)]
+        recv = _halo_exchange(plan, send, axis)
 
         # local-column SDDMM (independent of the exchange — overlaps it)
         pair_loc = _as_pair(lr, lc, lv, tiles.r_pad, tiles.r_pad,
                             tiles.r_pad, tiles.r_pad, ltr, ltc, ltv, R)
         num = bcsr_sddmm_colsum_rect(pair_loc, emb_n, emb_n)
-        # remote-column SDDMM over the received boundary rows → [D·B]
+        # remote-column SDDMM over the received boundary rows → [W]
         pair_rem = _as_pair(fr, fc, fv, tiles.r_pad, tiles.b_pad,
                             tiles.b_pad, tiles.r_pad, br, bc, bv, R)
-        partial = bcsr_sddmm_colsum_rect(pair_rem,
-                                         recv.reshape(D * B, -1), emb_n)
+        partial = bcsr_sddmm_colsum_rect(pair_rem, recv, emb_n)
 
-        rev = jax.lax.all_to_all(partial.reshape(D, B), axis, 0, 0,
-                                 tiled=True)
-        num = num.at[send_idx.reshape(-1)].add(rev.reshape(-1))
+        rev = _halo_exchange_rev(plan, partial[:W], axis)
+        num = num.at[send_idx.reshape(-1)].add(rev)
         aff = num * jnp.where(den_local != 0, 1.0 / den_local, 0.0)
         my = jax.lax.axis_index(axis)
         full = jnp.zeros((D * R,), aff.dtype)

@@ -119,6 +119,11 @@ class FullBatchTrainer:
     dist_impl: str = "halo"        # "halo": explicit boundary-exchange
                                    # collectives (keeps Pallas kernels);
                                    # "gspmd": auto-partitioned (XLA ops)
+    dist_schedule: str = "dense"   # halo wire schedule: "dense" (one
+                                   # all_to_all, global-max padding) or
+                                   # "ring" (per-distance ppermute hops,
+                                   # ships Σ_k B_k rows — wins when the
+                                   # boundary is skewed across pairs)
 
     def __post_init__(self):
         ds = self.dataset
@@ -219,7 +224,7 @@ class FullBatchTrainer:
         setup = prepare_halo(
             ds, self.mesh,
             spmm_impl="pallas" if use_pallas else "xla",
-            spmm_dtype=self.spmm_dtype)
+            spmm_dtype=self.spmm_dtype, schedule=self.dist_schedule)
         self._halo = setup
         self.model = GGAD(n_h=self.embedding_dim,
                           noise_mean=self.noise_mean,

@@ -41,7 +41,7 @@ def build_graph(args):
         seed_frac=0.15)
 
 
-def comm_row(ds, d, n_h, reorder=False):
+def comm_row(ds, d, n_h, schedule="dense"):
     from ggad_tpu.graph import from_scipy
     from ggad_tpu.ops.normalize import normalize_adj_reference
     from ggad_tpu.parallel.spmm_shard import (
@@ -52,26 +52,38 @@ def comm_row(ds, d, n_h, reorder=False):
 
     adj, raw = normalize_adj_reference(from_scipy(ds.adj))
     part = partition_edges(adj, d)
-    plan = build_halo_plan(part)
-    raw_plan = build_halo_plan(partition_edges(raw, d))
+    raw_part = partition_edges(raw, d)
+    plan = build_halo_plan(part, schedule=schedule)
+    raw_plan = build_halo_plan(raw_part, schedule=schedule)
     s = halo_comm_stats(plan, n_h)
     sr = halo_comm_stats(raw_plan, n_h)
     # one GGAD step: gcn1+gcn2+generator SpMMs (fwd + transposed bwd each)
     # on adj, affinity fwd+bwd on raw
     step_bytes = 6 * s["spmm_halo_bytes"] + 2 * sr["affinity_halo_bytes"]
     allgather_bytes = 8 * s["allgather_bytes"]
-    return {
+    row = {
         "devices": d,
+        "schedule": schedule,
         "boundary_rows": s["boundary_rows"],
         "boundary_frac_of_N": round(s["boundary_rows"] / ds.n_nodes, 4),
         "halo_step_MB_per_device": round(step_bytes / 2**20, 2),
         "allgather_step_MB_per_device": round(allgather_bytes / 2**20, 2),
         "comm_reduction_x": round(allgather_bytes / max(step_bytes, 1), 1),
     }
+    if schedule != "ring" and d > 1:
+        # the per-distance-padded alternative, for the same partition
+        rs = halo_comm_stats(build_halo_plan(part, schedule="ring"), n_h)
+        rr = halo_comm_stats(
+            build_halo_plan(raw_part, schedule="ring"), n_h)
+        ring_bytes = (6 * rs["spmm_halo_bytes"]
+                      + 2 * rr["affinity_halo_bytes"])
+        row["ring_step_MB_per_device"] = round(ring_bytes / 2**20, 2)
+        row["ring_vs_dense_x"] = round(step_bytes / max(ring_bytes, 1), 2)
+    return row
 
 
 def time_step(ds, d, n_h, iters=10, spmm_impl="xla",
-              spmm_dtype="float32"):
+              spmm_dtype="float32", schedule="dense"):
     """Median paired-difference step time of the jitted, scan-fused halo
     training step: (T(2K-step scan) − T(K-step scan)) / K cancels the
     per-dispatch tunnel/host overhead (same estimator as bench.py)."""
@@ -91,7 +103,7 @@ def time_step(ds, d, n_h, iters=10, spmm_impl="xla",
 
     mesh = make_mesh(d, axis_names=("nodes",))
     setup = prepare_halo(ds, mesh, spmm_impl=spmm_impl,
-                         spmm_dtype=spmm_dtype)
+                         spmm_dtype=spmm_dtype, schedule=schedule)
     adj, _ = normalize_adj_reference(from_scipy(ds.adj))
     model = GGAD(n_h=n_h, noise_mean=0.02, noise_std=0.01)
     rng = jax.random.PRNGKey(0)
@@ -157,6 +169,10 @@ def main():
                     help="local SpMM inside the halo step")
     ap.add_argument("--spmm_dtype", type=str, default="float32",
                     choices=["float32", "bfloat16"])
+    ap.add_argument("--schedule", type=str, default="dense",
+                    choices=["dense", "ring"],
+                    help="halo wire schedule (ring: per-distance-padded "
+                         "ppermute hops)")
     args = ap.parse_args()
 
     import jax
@@ -172,11 +188,12 @@ def main():
     rows = []
     t1 = args.compute_ms_1chip
     for d in devices:
-        row = comm_row(ds, d, args.n_h)
+        row = comm_row(ds, d, args.n_h, args.schedule)
         if args.time and d <= len(jax.devices()):
             row["step_ms_measured"] = round(
                 time_step(ds, d, args.n_h, args.iters,
-                          args.spmm_impl, args.spmm_dtype) * 1e3, 2)
+                          args.spmm_impl, args.spmm_dtype,
+                          args.schedule) * 1e3, 2)
             if d == 1 and t1 is None:
                 t1 = row["step_ms_measured"]
         if t1 is not None and d > 1:

@@ -106,12 +106,13 @@ def community_graph(n=256, n_comm=8, p_in=0.12, p_out=0.004, seed=0):
     return sp.csr_matrix(mat)
 
 
+@pytest.mark.parametrize("schedule", ["dense", "ring"])
 @pytest.mark.parametrize("n", [96, 100, 257])
-def test_spmm_halo_matches_single_device(mesh, n, rng):
+def test_spmm_halo_matches_single_device(mesh, n, schedule, rng):
     mat = random_graph(n)
     g = from_scipy(mat)
     part = place_partition(partition_edges(g, 8), mesh)
-    plan = place_halo_plan(build_halo_plan(part), mesh)
+    plan = place_halo_plan(build_halo_plan(part, schedule=schedule), mesh)
     x = rng.normal(size=(n, 24)).astype(np.float32)
     xp = pad_nodes(jnp.asarray(x), part)
 
@@ -120,11 +121,12 @@ def test_spmm_halo_matches_single_device(mesh, n, rng):
     np.testing.assert_allclose(out, expect, rtol=1e-4, atol=1e-5)
 
 
-def test_spmm_halo_grad(mesh, rng):
+@pytest.mark.parametrize("schedule", ["dense", "ring"])
+def test_spmm_halo_grad(mesh, schedule, rng):
     mat = random_graph(64)
     g = from_scipy(mat)
     part = place_partition(partition_edges(g, 8), mesh)
-    plan = place_halo_plan(build_halo_plan(part), mesh)
+    plan = place_halo_plan(build_halo_plan(part, schedule=schedule), mesh)
     x = jnp.asarray(rng.normal(size=(64, 8)).astype(np.float32))
 
     def f_halo(x):
@@ -138,13 +140,14 @@ def test_spmm_halo_grad(mesh, rng):
     np.testing.assert_allclose(g_h, g_s, rtol=1e-4, atol=1e-4)
 
 
-def test_affinity_halo_matches_single_device(mesh, rng):
+@pytest.mark.parametrize("schedule", ["dense", "ring"])
+def test_affinity_halo_matches_single_device(mesh, schedule, rng):
     from ggad_tpu.graph import add_self_loops
 
     mat = random_graph(120)
     raw = add_self_loops(from_scipy(mat))
     part = place_partition(partition_edges(raw, 8), mesh)
-    plan = place_halo_plan(build_halo_plan(part), mesh)
+    plan = place_halo_plan(build_halo_plan(part, schedule=schedule), mesh)
     emb = rng.normal(size=(120, 16)).astype(np.float32)
 
     got = np.asarray(affinity_halo(
@@ -153,7 +156,8 @@ def test_affinity_halo_matches_single_device(mesh, rng):
     np.testing.assert_allclose(got, expect, rtol=1e-4, atol=1e-5)
 
 
-def test_affinity_halo_grad(mesh, rng):
+@pytest.mark.parametrize("schedule", ["dense", "ring"])
+def test_affinity_halo_grad(mesh, schedule, rng):
     """The affinity gradient crosses BOTH halo exchanges (forward rows +
     reverse partials) — must match the single-device SDDMM gradient."""
     from ggad_tpu.graph import add_self_loops
@@ -161,7 +165,7 @@ def test_affinity_halo_grad(mesh, rng):
     mat = random_graph(72, seed=3)
     raw = add_self_loops(from_scipy(mat))
     part = place_partition(partition_edges(raw, 8), mesh)
-    plan = place_halo_plan(build_halo_plan(part), mesh)
+    plan = place_halo_plan(build_halo_plan(part, schedule=schedule), mesh)
     emb = jnp.asarray(rng.normal(size=(72, 8)).astype(np.float32))
     w = jnp.asarray(rng.normal(size=(72,)).astype(np.float32))
 
@@ -198,6 +202,20 @@ def test_halo_comm_volume(mesh):
     assert stats["spmm_halo_bytes"] < stats["allgather_bytes"] / 4
     assert stats["boundary_rows"] * 8 < g.n_nodes
 
+    # ring schedule pads per DISTANCE, not to the global max: it never
+    # ships more rows than dense, and is exact too
+    ring = build_halo_plan(part, schedule="ring")
+    ring_stats = halo_comm_stats(ring, feat_dim=300)
+    assert ring_stats["wire_rows"] <= stats["wire_rows"]
+    xr = np.random.RandomState(2).normal(size=(256, 12)).astype(np.float32)
+    ring_d = place_halo_plan(ring, mesh)
+    partd2 = place_partition(part, mesh)
+    out_r = np.asarray(
+        spmm_halo(partd2, ring_d, pad_nodes(jnp.asarray(xr), partd2),
+                  mesh))[:256]
+    np.testing.assert_allclose(
+        out_r, np.asarray(spmm(g, jnp.asarray(xr))), rtol=1e-4, atol=1e-5)
+
     # and the exchange is still exact on this clustered graph
     x = np.random.RandomState(1).normal(size=(256, 12)).astype(np.float32)
     partd = place_partition(part, mesh)
@@ -209,7 +227,8 @@ def test_halo_comm_volume(mesh):
                                rtol=1e-4, atol=1e-5)
 
 
-def test_spmm_halo_bcsr_matches_single_device(mesh, rng):
+@pytest.mark.parametrize("schedule", ["dense", "ring"])
+def test_spmm_halo_bcsr_matches_single_device(mesh, schedule, rng):
     """Sharded Pallas path: boundary exchange + per-shard BCSR tiles."""
     from ggad_tpu.graph import add_self_loops
     from ggad_tpu.parallel.spmm_shard import (
@@ -220,7 +239,7 @@ def test_spmm_halo_bcsr_matches_single_device(mesh, rng):
 
     g = add_self_loops(from_scipy(random_graph(200, seed=5)))
     part = partition_edges(g, 8)
-    plan = build_halo_plan(part)
+    plan = build_halo_plan(part, schedule=schedule)
     tiles = place_halo_bcsr(build_halo_bcsr(part, plan), mesh)
     part = place_partition(part, mesh)
     plan = place_halo_plan(plan, mesh)
@@ -356,14 +375,17 @@ def test_halo_ggad_losses_match_flax_pallas_tiles(mesh):
         g_h, g_f)
 
 
-def test_halo_training_device_count_invariant(mesh):
+@pytest.mark.parametrize("schedule", ["dense", "ring"])
+def test_halo_training_device_count_invariant(mesh, schedule):
     """Two jitted halo training steps give the same loss on 2 vs 8
     devices (replicated params, boundary exchange is exact)."""
     from ggad_tpu.parallel.halo_trainer import halo_training_run
 
     ds = synthetic_gad(n_nodes=256, avg_degree=8, feat_dim=16, seed=0)
-    _, l8 = halo_training_run(make_mesh(8), ds, n_h=32, n_steps=2)
-    _, l2 = halo_training_run(make_mesh(2), ds, n_h=32, n_steps=2)
+    _, l8 = halo_training_run(make_mesh(8), ds, n_h=32, n_steps=2,
+                              schedule=schedule)
+    _, l2 = halo_training_run(make_mesh(2), ds, n_h=32, n_steps=2,
+                              schedule=schedule)
     assert np.isfinite(float(l8.total))
     assert float(l8.total) == pytest.approx(float(l2.total), rel=1e-4)
 
