@@ -76,6 +76,11 @@ def _sddmm_colsum_raw(tiles, emb_rows: jax.Array,
 
     if emb_cols is None:
         emb_cols = emb_rows
+    if tiles.values.dtype == jnp.bfloat16:
+        # pre-cast: same rounding as the in-kernel astype, half the HBM
+        # traffic on the operand slabs (see pallas_spmm._bcsr_matmul_raw)
+        emb_rows = emb_rows.astype(jnp.bfloat16)
+        emb_cols = emb_cols.astype(jnp.bfloat16)
     n_t = tiles.n_tiles
     d_pad = emb_rows.shape[1]
     n_blocks = tiles.n_rows // TILE
@@ -97,7 +102,9 @@ def _sddmm_colsum_raw(tiles, emb_rows: jax.Array,
         out_shape=jax.ShapeDtypeStruct((n_blocks, 8, TILE), jnp.float32),
         cost_estimate=pl.CostEstimate(
             flops=2 * n_t * TILE * TILE * d_pad,
-            bytes_accessed=n_t * (TILE * TILE + 2 * TILE * d_pad) * 4,
+            bytes_accessed=n_t * (
+                TILE * TILE * tiles.values.dtype.itemsize
+                + 2 * TILE * d_pad * emb_rows.dtype.itemsize),
             transcendentals=0),
         interpret=jax.default_backend() != "tpu",
     )(tiles.tile_rows, tiles.tile_cols, tiles.values, emb_rows, emb_cols)

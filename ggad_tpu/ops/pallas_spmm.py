@@ -118,6 +118,13 @@ def _bcsr_matmul_raw(m: BCSR, h: jax.Array, d_tile: int = 512) -> jax.Array:
     n_d = d_pad // d_tile
     n_t = m.n_tiles
 
+    if m.values.dtype == jnp.bfloat16:
+        # operands are rounded to bf16 on the MXU either way — casting
+        # BEFORE the kernel halves the dominant HBM traffic (each H slab
+        # is re-read once per occupied tile in its column block); XLA
+        # fuses the convert into the producer. Bit-identical result.
+        h = h.astype(jnp.bfloat16)
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(n_d, n_t),
@@ -137,7 +144,8 @@ def _bcsr_matmul_raw(m: BCSR, h: jax.Array, d_tile: int = 512) -> jax.Array:
         out_shape=jax.ShapeDtypeStruct((m.n_rows, d_pad), jnp.float32),
         cost_estimate=pl.CostEstimate(
             flops=flops,
-            bytes_accessed=n_t * TILE * TILE * 4 + h.size * 4,
+            bytes_accessed=n_t * TILE * TILE * m.values.dtype.itemsize
+            + h.size * h.dtype.itemsize,
             transcendentals=0),
         interpret=jax.default_backend() != "tpu",  # CPU tests
     )(m.tile_rows, m.tile_cols, m.values, h)
