@@ -54,6 +54,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--aegis_faithful", action="store_true",
                    help="reproduce the reference AEGIS driver's effective "
                         "behavior, bugs included (model_AEGIS.py:240)")
+    p.add_argument("--tam_split", action=argparse.BooleanOptionalAction,
+                   default=True,
+                   help="use TAM's own split protocol (80%% labeled "
+                        "normals + active contamination, "
+                        "utils_tam.py:159-178); --no-tam_split keeps the "
+                        "GGAD split the dataset ships with")
     p.add_argument("--dp_devices", type=int, default=None,
                    help="data-parallel device count for ggad-minibatch "
                         "(batch axis shards over the mesh)")
@@ -89,6 +95,13 @@ def main(argv=None) -> int:
 
     if args.config:
         return run_from_config(args)
+
+    if args.dist_schedule != "dense" and args.dist_impl == "gspmd":
+        # the wire schedule only applies to the halo path; silently
+        # benchmarking "gspmd+ring" would measure dense-equivalent comm
+        raise SystemExit(
+            f"--dist_schedule {args.dist_schedule} only applies to "
+            f"--dist_impl halo (gspmd lets XLA choose the collectives)")
 
     preset = preset_for(args.dataset)
     logger = JsonlLogger(args.log_jsonl) if args.log_jsonl else None

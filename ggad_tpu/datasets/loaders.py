@@ -95,18 +95,70 @@ def load_dgraphfin(*, data_dir: str = None) -> tuple[sp.csr_matrix, np.ndarray, 
     return adj, feats, labels
 
 
+def load_dgraphfin_dataset(*, data_dir: str = None,
+                           seed: int = 0) -> GADDataset:
+    """DGraph-Fin as a :class:`GADDataset` (the real-npz route).
+
+    ``GADDataset.adj`` holds A *without* self-loops (every consumer adds
+    them itself — the full-batch path via ``normalize_adj_reference``,
+    the minibatch path via ``adj + I``), so the reference loader's
+    self-loops (``src/utils.py:52-58``) are stripped here.
+    """
+    adj, feats, labels = load_dgraphfin(data_dir=data_dir)
+    adj = adj.tolil()
+    adj.setdiag(0)
+    adj = adj.tocsr()
+    adj.eliminate_zeros()
+    split = reference_split(labels, seed=seed,
+                            seed_frac=preset_for("dgraphfin").seed_frac)
+    return GADDataset(
+        name="dgraphfin",
+        adj=adj,
+        features=feats,
+        ano_labels=labels,
+        idx_train=split.idx_train,
+        idx_val=split.idx_val,
+        idx_test=split.idx_test,
+        normal_label_idx=split.normal_label_idx,
+        abnormal_label_idx=split.abnormal_label_idx,
+    )
+
+
 def load_dataset(name: str, *, data_dir: str = None, seed: int = 0,
                  synthetic_scale: float = 1.0,
                  allow_synthetic: bool = True) -> GADDataset:
-    """Load ``name`` from disk, or fall back to a shape-matched synthetic."""
+    """Load ``name`` from disk, or fall back to a shape-matched synthetic.
+
+    Real-data routes (in order): ``{name}.mat`` (reference
+    ``utils.py:66-87``), then ``dgraphfin.npz`` for ``name='dgraphfin'``
+    (reference ``src/utils.py:15-31``). A named benchmark with no file
+    on disk falls back to a synthetic graph ONLY when
+    ``allow_synthetic`` (the default), and prints an unmistakable
+    ``[synthetic fallback]`` marker — a silent fallback could produce a
+    bogus "parity" table. ``allow_synthetic=False`` raises instead
+    (used by scripts that claim real-data results).
+    """
     data_dir = data_dir or DATA_DIR
     mat_path = os.path.join(data_dir, f"{name}.mat")
     if os.path.exists(mat_path):
         return load_mat(name, data_dir=data_dir, seed=seed)
+    if name == "dgraphfin":
+        npz_path = os.path.join(data_dir, "dgraphfin.npz")
+        if os.path.exists(npz_path):
+            return load_dgraphfin_dataset(data_dir=data_dir, seed=seed)
     if name.startswith("synthetic"):
         return synthetic_gad(name, seed=seed, split_seed=seed)
     if not allow_synthetic:
-        raise FileNotFoundError(mat_path)
+        raise FileNotFoundError(
+            f"no real data for {name!r} in {data_dir!r} "
+            f"(looked for {name}.mat"
+            + (" and dgraphfin.npz" if name == "dgraphfin" else "")
+            + ") and allow_synthetic=False")
+    import sys
+    print(f"[synthetic fallback] no real data for {name!r} in "
+          f"{data_dir!r} — training on a SYNTHETIC graph; metrics are "
+          f"NOT comparable to published {name} results",
+          file=sys.stderr, flush=True)
     from ggad_tpu.datasets.synthetic import SYNTH_SHAPES
     if name in SYNTH_SHAPES:
         return synthetic_like(name, scale=synthetic_scale, seed=seed)

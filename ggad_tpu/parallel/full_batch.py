@@ -108,12 +108,13 @@ def sharded_train_step_2d(mesh: Mesh, dataset, *, n_h: int = 64,
     opt_state = jax.tree.map(
         lambda a: a, tx.init(params))  # inherits param shardings
 
-    step = make_sharded_train_step(model, tx, adj, raw_adj, features,
-                                   seed_idx, normal_idx)
+    step = make_sharded_train_step(model, tx)
     losses = None
     for _ in range(n_steps):
         rng, step_rng = jax.random.split(rng)
-        params, opt_state, losses = step(params, opt_state, step_rng)
+        params, opt_state, losses = step(params, opt_state, step_rng,
+                                         adj, raw_adj, features,
+                                         seed_idx, normal_idx)
     jax.block_until_ready(losses.total)
     return float(losses.total)
 
@@ -121,19 +122,19 @@ def sharded_train_step_2d(mesh: Mesh, dataset, *, n_h: int = 64,
 def make_sharded_train_step(
     model: GGAD,
     tx: optax.GradientTransformation,
-    adj: Graph,
-    raw_adj: Graph,
-    features: jax.Array,
-    seed_idx: jax.Array,
-    normal_idx: jax.Array,
     *,
     confidence_margin: float = 0.7,
     pos_weight: float = 1.0,
 ) -> Callable:
-    """Return a jitted (params, opt_state, rng) -> (params, opt_state, losses)
-    step closed over sharded graph/feature arrays."""
+    """Return a jitted ``(params, opt_state, rng, adj, raw_adj, features,
+    seed_idx, normal_idx) -> (params, opt_state, losses)`` step.
 
-    def step(params, opt_state, rng):
+    Graph/feature arrays enter as jit ARGUMENTS (the repo's payload
+    rule, CLAUDE.md): closed-over arrays would be embedded in the
+    compile payload and shipped through the remote-TPU tunnel."""
+
+    def step(params, opt_state, rng, adj, raw_adj, features, seed_idx,
+             normal_idx):
         def loss_fn(p):
             out = model.apply(p, adj, features, seed_idx, normal_idx,
                               train=True, rngs={"noise": rng})
@@ -179,11 +180,12 @@ def sharded_train_step(mesh: Mesh, dataset, *, n_h: int = 64,
     params = replicate(params, mesh)
     opt_state = replicate(tx.init(params), mesh)
 
-    step = make_sharded_train_step(model, tx, adj, raw_adj, features,
-                                   seed_idx, normal_idx)
+    step = make_sharded_train_step(model, tx)
     losses = None
     for _ in range(n_steps):
         rng, step_rng = jax.random.split(rng)
-        params, opt_state, losses = step(params, opt_state, step_rng)
+        params, opt_state, losses = step(params, opt_state, step_rng,
+                                         adj, raw_adj, features,
+                                         seed_idx, normal_idx)
     jax.block_until_ready(losses.total)
     return float(losses.total)

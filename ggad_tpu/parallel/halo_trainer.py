@@ -27,19 +27,27 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ggad_tpu.parallel.spmm_shard import (
     EdgePartition,
+    HaloAffinitySubset,
     HaloBCSR,
     HaloPlan,
+    HaloSeedRows,
     affinity_halo,
     affinity_halo_bcsr,
+    affinity_halo_subset,
+    build_halo_affinity_subset,
     build_halo_bcsr,
     build_halo_plan,
+    build_halo_seed_rows,
     pad_nodes,
     partition_edges,
+    place_halo_affinity_subset,
     place_halo_bcsr,
     place_halo_plan,
+    place_halo_seed_rows,
     place_partition,
     spmm_halo,
     spmm_halo_bcsr,
+    spmm_halo_seed_rows,
 )
 from ggad_tpu.train.losses import GGADLosses, bce_with_logits
 
@@ -64,6 +72,8 @@ def halo_ggad_forward_and_losses(
     tiles: HaloBCSR | None = None,
     raw_tiles: HaloBCSR | None = None,
     ax: jax.Array | None = None,
+    seed_rows: HaloSeedRows | None = None,
+    aff_sub: HaloAffinitySubset | None = None,
     confidence_margin: float = 0.7,
     pos_weight: float = 1.0,
 ) -> GGADLosses:
@@ -74,6 +84,15 @@ def halo_ggad_forward_and_losses(
     ``tiles``: per-shard BCSR tile sets — the encoder/generator SpMMs
     run on the MXU (Pallas) instead of gather/segment-sum; the affinity
     stays edge-parallel (its SDDMM is the cross-device reduction).
+
+    ``seed_rows``: distributed seed-row subgraph — the generator
+    aggregation ``(Â @ emb)[seed]`` becomes per-shard column partials +
+    one [S, n_h] psum instead of a full halo SpMM (+ its full transposed
+    backward). ``aff_sub``: distributed column-subset restriction of the
+    affinity — the margin reads only labeled nodes, so the SDDMM
+    restricts to their columns and the boundary exchange collapses to
+    two small psums. Both are exact at the read nodes (tested); together
+    they make the distributed step's comm = gcn2's SpMM exchange only.
     """
     pr = params["params"]
 
@@ -98,7 +117,10 @@ def halo_ggad_forward_and_losses(
     emb_abnormal = emb[seed_idx] + noise
 
     # generated outliers from neighborhood aggregates (model.py:151-156)
-    agg = halo_mm(emb)[seed_idx]
+    if seed_rows is not None:
+        agg = spmm_halo_seed_rows(seed_rows, emb, mesh, axis)
+    else:
+        agg = halo_mm(emb)[seed_idx]
     emb_con = jax.nn.relu(jnp.dot(agg, pr["fc4"]["kernel"],
                                   preferred_element_type=jnp.float32))
     emb_combine = jnp.concatenate([emb[normal_idx], emb_con], axis=0)
@@ -116,13 +138,21 @@ def halo_ggad_forward_and_losses(
     ])
     loss_bce = jnp.mean(bce_with_logits(logits, labels, pos_weight))
 
-    if raw_tiles is not None:
+    if aff_sub is not None:
+        # built over [normal ‖ seed] (same order as the single-device
+        # AffinitySubset) — exact at the read nodes
+        aff = affinity_halo_subset(raw_plan, aff_sub, emb, mesh, axis)
+        aff_normal = jnp.mean(aff[: normal_idx.shape[0]])
+        aff_outlier = jnp.mean(aff[normal_idx.shape[0]:])
+    elif raw_tiles is not None:
         affinity = affinity_halo_bcsr(raw_part, raw_plan, raw_tiles, emb,
                                       mesh, axis)
+        aff_normal = jnp.mean(affinity[normal_idx])
+        aff_outlier = jnp.mean(affinity[seed_idx])
     else:
         affinity = affinity_halo(raw_part, raw_plan, emb, mesh, axis)
-    aff_normal = jnp.mean(affinity[normal_idx])
-    aff_outlier = jnp.mean(affinity[seed_idx])
+        aff_normal = jnp.mean(affinity[normal_idx])
+        aff_outlier = jnp.mean(affinity[seed_idx])
     loss_margin = jnp.maximum(
         confidence_margin - (aff_normal - aff_outlier), 0.0)
 
@@ -142,9 +172,11 @@ def halo_ggad_eval_scores(
     mesh: Mesh,
     axis: str = "nodes",
     tiles: HaloBCSR | None = None,
+    ax: jax.Array | None = None,
 ) -> jax.Array:
     """Eval-mode forward: one-class logits for ALL nodes ([N_pad])
-    (reference ``model.py:184-188``)."""
+    (reference ``model.py:184-188``). ``ax``: precomputed ``Â @ x`` —
+    the hoisted first-layer aggregation (one fewer halo SpMM)."""
     pr = params["params"]
 
     def halo_mm(h):
@@ -152,13 +184,18 @@ def halo_ggad_eval_scores(
             return spmm_halo_bcsr(part, plan, tiles, h, mesh, axis)
         return spmm_halo(part, plan, h, mesh, axis)
 
-    def gcn(name, h):
-        hw = jnp.dot(h, pr[name]["fc"]["kernel"],
-                     preferred_element_type=jnp.float32)
-        agg = halo_mm(hw) + pr[name]["bias"]
+    def gcn(name, h, pre_agg=None):
+        if pre_agg is not None:
+            agg = jnp.dot(pre_agg, pr[name]["fc"]["kernel"],
+                          preferred_element_type=jnp.float32) \
+                + pr[name]["bias"]
+        else:
+            hw = jnp.dot(h, pr[name]["fc"]["kernel"],
+                         preferred_element_type=jnp.float32)
+            agg = halo_mm(hw) + pr[name]["bias"]
         return _prelu(agg, pr[name]["prelu"]["alpha"])
 
-    emb = gcn("gcn2", gcn("gcn1", x_pad))
+    emb = gcn("gcn2", gcn("gcn1", x_pad, pre_agg=ax))
     h = jax.nn.relu(emb @ pr["head"]["fc1"]["kernel"])
     h = jax.nn.relu(h @ pr["head"]["fc2"]["kernel"])
     return (h @ pr["head"]["fc3"]["kernel"])[:, 0]
@@ -183,7 +220,8 @@ def make_halo_train_step(
     ``tiles`` (HaloBCSR) to run the SpMMs on the MXU."""
 
     def one_step(params, opt_state, key, part, plan, raw_part, raw_plan,
-                 x_pad, seed_idx, normal_idx, tiles, raw_tiles, ax):
+                 x_pad, seed_idx, normal_idx, tiles, raw_tiles, ax,
+                 seed_rows, aff_sub):
         noise = (jax.random.normal(key, (seed_idx.shape[0], n_h))
                  * noise_std + noise_mean)
 
@@ -191,7 +229,8 @@ def make_halo_train_step(
             losses = halo_ggad_forward_and_losses(
                 p, part, plan, x_pad, seed_idx, normal_idx, noise,
                 raw_part, raw_plan, mesh, axis, tiles=tiles,
-                raw_tiles=raw_tiles, ax=ax,
+                raw_tiles=raw_tiles, ax=ax, seed_rows=seed_rows,
+                aff_sub=aff_sub,
                 confidence_margin=confidence_margin,
                 pos_weight=pos_weight)
             return losses.total, losses
@@ -204,18 +243,19 @@ def make_halo_train_step(
 
     def step(params, opt_state, rng, part, plan, raw_part, raw_plan,
              x_pad, seed_idx, normal_idx, tiles=None, raw_tiles=None,
-             ax=None):
+             ax=None, seed_rows=None, aff_sub=None):
         if n_steps == 1:
             rng, key = jax.random.split(rng)
             return one_step(params, opt_state, key, part, plan, raw_part,
                             raw_plan, x_pad, seed_idx, normal_idx, tiles,
-                            raw_tiles, ax)
+                            raw_tiles, ax, seed_rows, aff_sub)
 
         def body(carry, key):
             params, opt_state = carry
             params, opt_state, losses = one_step(
                 params, opt_state, key, part, plan, raw_part, raw_plan,
-                x_pad, seed_idx, normal_idx, tiles, raw_tiles, ax)
+                x_pad, seed_idx, normal_idx, tiles, raw_tiles, ax,
+                seed_rows, aff_sub)
             return (params, opt_state), losses
 
         keys = jax.random.split(rng, n_steps)
@@ -238,6 +278,8 @@ class HaloSetup:
     tiles: HaloBCSR | None = None
     raw_tiles: HaloBCSR | None = None
     ax: jax.Array | None = None   # precomputed Â@x (hoisted layer 1)
+    seed_rows: HaloSeedRows | None = None   # generator row-subgraph
+    aff_sub: HaloAffinitySubset | None = None   # margin column subset
 
 
 def prepare_halo(dataset, mesh: Mesh, axis: str = "nodes",
@@ -262,6 +304,17 @@ def prepare_halo(dataset, mesh: Mesh, axis: str = "nodes",
     raw_part = partition_edges(raw_adj, n_dev)
     plan_host = build_halo_plan(part, schedule=schedule)
     raw_plan_host = build_halo_plan(raw_part, schedule=schedule)
+    # generator seed-row subgraph + margin column-subset restriction:
+    # these turn the generator SpMM and the affinity exchange into two
+    # tiny psums each (exact at the read nodes; see spmm_shard)
+    seed_rows = place_halo_seed_rows(
+        build_halo_seed_rows(part, dataset.abnormal_label_idx), mesh,
+        axis)
+    aff_sub = place_halo_affinity_subset(
+        build_halo_affinity_subset(raw_part, np.concatenate([
+            np.asarray(dataset.normal_label_idx, np.int64),
+            np.asarray(dataset.abnormal_label_idx, np.int64)])),
+        mesh, axis)
     tiles = raw_tiles = None
     if spmm_impl == "pallas":
         tiles = place_halo_bcsr(
@@ -289,7 +342,8 @@ def prepare_halo(dataset, mesh: Mesh, axis: str = "nodes",
     else:
         ax = spmm_halo(part, plan, x_pad, mesh, axis)
     return HaloSetup(part, plan, raw_part, raw_plan, x_pad, seed_idx,
-                     normal_idx, tiles, raw_tiles, ax)
+                     normal_idx, tiles, raw_tiles, ax, seed_rows,
+                     aff_sub)
 
 
 def halo_training_run(mesh: Mesh, dataset, *, n_h: int = 64,
@@ -331,6 +385,7 @@ def halo_training_run(mesh: Mesh, dataset, *, n_h: int = 64,
         params, opt_state, losses = step(
             params, opt_state, step_rng, setup.part, setup.plan,
             setup.raw_part, setup.raw_plan, setup.x_pad, setup.seed_idx,
-            setup.normal_idx, setup.tiles, setup.raw_tiles, setup.ax)
+            setup.normal_idx, setup.tiles, setup.raw_tiles, setup.ax,
+            setup.seed_rows, setup.aff_sub)
     jax.block_until_ready(losses.total)
     return params, losses

@@ -661,6 +661,230 @@ def affinity_halo_bcsr(part: EdgePartition, plan: HaloPlan,
       tiles.bwd_rows, tiles.bwd_cols, tiles.bwd_vals, plan.den, emb)
 
 
+# ---------------------------------------------------------------------------
+# Subset affinity + seed-row aggregation (the margin/generator fast paths)
+# ---------------------------------------------------------------------------
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class HaloAffinitySubset:
+    """Distributed restriction of the affinity to a fixed column subset.
+
+    GGAD's margin loss reads the per-node affinity ONLY at the labeled
+    normals and seeds (reference ``run.py:190-205``) — the distributed
+    counterpart of :class:`ggad_tpu.ops.sddmm.AffinitySubset`. Each shard
+    keeps only its edges whose COLUMNS fall in the subset; the exchange
+    collapses from a boundary halo (wire ≈ Σ_k B_k·(d+1) rows) to two
+    small ``psum``s: the [U, d] normalized target rows and the [U]
+    numerator partials, U = |labeled set| ≪ N. Compute is O(E_sub·d)
+    per shard forward AND backward. Identical values at the read nodes
+    (tested against the full-affinity halo path).
+
+    ``row_local``/``col_sub``/``val``: [D·E_sub] sharded like the edge
+    arrays (``P(axis)``); ``col_sub`` is the column's position in
+    ``uniq``. ``uniq``/``gather``/``den`` are replicated.
+    """
+
+    row_local: jax.Array  # [D·E_sub] local row id of each restricted edge
+    col_sub: jax.Array    # [D·E_sub] position of the column in `uniq`
+    val: jax.Array        # [D·E_sub] edge values (0 on padding)
+    uniq: jax.Array       # [U] unique subset node ids (global)
+    gather: jax.Array     # [S] position of idx[k] in `uniq`
+    den: jax.Array        # [U] column-sum of val (affinity denominator)
+    n_uniq: int = dataclasses.field(metadata=dict(static=True))
+    e_sub: int = dataclasses.field(metadata=dict(static=True))
+
+
+def build_halo_affinity_subset(part: EdgePartition,
+                               idx) -> HaloAffinitySubset:
+    """Host-side: restrict ``part``'s edges to columns in ``idx``."""
+    D, E, R = part.n_shards, part.e_shard, part.rows_per_shard
+    idx = np.asarray(idx, np.int64)
+    uniq, gather = np.unique(idx, return_inverse=True)
+    U = len(uniq)
+    lookup = np.full(part.n_pad, -1, np.int64)
+    lookup[uniq] = np.arange(U)
+
+    rl = np.asarray(part.row_local).reshape(D, E)
+    cc = np.asarray(part.col).reshape(D, E)
+    vv = np.asarray(part.val).reshape(D, E)
+
+    blocks = []
+    e_sub = 0
+    den = np.zeros(U, np.float32)
+    for d in range(D):
+        live = (vv[d] != 0) & (lookup[cc[d]] >= 0)
+        r, c, v = rl[d][live], lookup[cc[d][live]], vv[d][live]
+        np.add.at(den, c, v)
+        blocks.append((r, c, v))
+        e_sub = max(e_sub, len(r))
+    e_sub = max(_round_up(e_sub, 8), 8)
+
+    rs = np.zeros((D, e_sub), np.int32)
+    cs = np.zeros((D, e_sub), np.int32)
+    vs = np.zeros((D, e_sub), np.float32)
+    for d, (r, c, v) in enumerate(blocks):
+        rs[d, : len(r)] = r
+        cs[d, : len(c)] = c
+        vs[d, : len(v)] = v
+
+    return HaloAffinitySubset(
+        row_local=jnp.asarray(rs.reshape(-1)),
+        col_sub=jnp.asarray(cs.reshape(-1)),
+        val=jnp.asarray(vs.reshape(-1)),
+        uniq=jnp.asarray(uniq, jnp.int32),
+        gather=jnp.asarray(gather, jnp.int32),
+        den=jnp.asarray(den),
+        n_uniq=U, e_sub=e_sub)
+
+
+def place_halo_affinity_subset(sub: HaloAffinitySubset, mesh: Mesh,
+                               axis: str = "nodes") -> HaloAffinitySubset:
+    sh = NamedSharding(mesh, P(axis))
+    repl = NamedSharding(mesh, P())
+    return dataclasses.replace(
+        sub,
+        row_local=jax.device_put(sub.row_local, sh),
+        col_sub=jax.device_put(sub.col_sub, sh),
+        val=jax.device_put(sub.val, sh),
+        uniq=jax.device_put(sub.uniq, repl),
+        gather=jax.device_put(sub.gather, repl),
+        den=jax.device_put(sub.den, repl))
+
+
+def affinity_halo_subset(plan: HaloPlan, sub: HaloAffinitySubset,
+                         emb: jax.Array, mesh: Mesh,
+                         axis: str = "nodes") -> jax.Array:
+    """affinity[k] at the k-th requested node — identical values to the
+    full ``affinity_halo(...)[idx]`` (tested), with two tiny ``psum``s
+    instead of the boundary exchange. Returns a replicated [S] vector."""
+    R, U = plan.rows_per_shard, sub.n_uniq
+
+    def local(row_local, col_sub, val, uniq, gather, den, emb_local):
+        # zero-guard inside the sqrt (see affinity_halo)
+        sq = jnp.sum(jnp.square(emb_local), axis=-1, keepdims=True)
+        pos = sq > 0
+        nrm = jnp.sqrt(jnp.where(pos, sq, 1.0))
+        emb_n = emb_local * jnp.where(pos, 1.0 / nrm, 0.0)
+        # assemble the normalized TARGET rows: each shard contributes the
+        # uniq rows it owns, one [U, d] all-reduce replicates them
+        my = jax.lax.axis_index(axis)
+        loc = uniq - my * R
+        own = (loc >= 0) & (loc < R)
+        tgt = jnp.where(own[:, None],
+                        emb_n[jnp.clip(loc, 0, R - 1)], 0.0)
+        tgt = jax.lax.psum(tgt, axis)
+        cos = jnp.einsum("ed,ed->e", emb_n[row_local], tgt[col_sub],
+                         preferred_element_type=jnp.float32) * val
+        num = jax.lax.psum(
+            jax.ops.segment_sum(cos, col_sub, num_segments=U), axis)
+        aff = num * jnp.where(den != 0, 1.0 / den, 0.0)
+        return aff[gather]
+
+    return jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis), P(), P(), P(), P(axis)),
+        out_specs=P(),
+    )(sub.row_local, sub.col_sub, sub.val, sub.uniq, sub.gather, sub.den,
+      emb)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class HaloSeedRows:
+    """Distributed row-subgraph for ``(A @ emb)[seed]``: the sharded
+    counterpart of :func:`ggad_tpu.graph.rows_subgraph`.
+
+    GGAD's generator aggregation reads only the S seed rows of the SpMM
+    (reference ``model.py:151-156``), so the full halo SpMM (+ a full
+    transposed SpMM on a mostly-zero cotangent in the backward) is pure
+    waste. The seed rows' edges are re-bucketed by COLUMN owner: each
+    shard sums ``val · emb_local[col]`` partials over its own columns
+    and one [S, d] ``psum`` replicates the aggregate — O(E_seed·d)
+    compute per shard, S·d wire per device, both ways.
+    """
+
+    seed_pos: jax.Array   # [D·E_seed] position of the edge's row in the
+                          # seed list (order given at build time)
+    col_local: jax.Array  # [D·E_seed] column id within the shard's block
+    val: jax.Array        # [D·E_seed] edge values (0 on padding)
+    n_seed: int = dataclasses.field(metadata=dict(static=True))
+    e_seed: int = dataclasses.field(metadata=dict(static=True))
+
+
+def build_halo_seed_rows(part: EdgePartition, seed_idx) -> HaloSeedRows:
+    """Host-side: bucket the seed rows' edges by column owner."""
+    D, E, R = part.n_shards, part.e_shard, part.rows_per_shard
+    seed_idx = np.asarray(seed_idx, np.int64)
+    S = len(seed_idx)
+    lookup = np.full(part.n_pad, -1, np.int64)
+    lookup[seed_idx] = np.arange(S)
+
+    rl = np.asarray(part.row_local).reshape(D, E)
+    cc = np.asarray(part.col).reshape(D, E)
+    vv = np.asarray(part.val).reshape(D, E)
+
+    # flatten the seed rows' edges with global row ids, then re-bucket
+    rows_g = np.concatenate(
+        [rl[d] + d * R for d in range(D)])
+    cols = cc.reshape(-1)
+    vals = vv.reshape(-1)
+    live = (vals != 0) & (lookup[rows_g] >= 0)
+    pos, cols, vals = lookup[rows_g[live]], cols[live], vals[live]
+    owner = cols // R
+
+    blocks = []
+    e_seed = 0
+    for d in range(D):
+        m = owner == d
+        blocks.append((pos[m], cols[m] - d * R, vals[m]))
+        e_seed = max(e_seed, int(m.sum()))
+    e_seed = max(_round_up(e_seed, 8), 8)
+
+    ps = np.zeros((D, e_seed), np.int32)
+    cs = np.zeros((D, e_seed), np.int32)
+    vs = np.zeros((D, e_seed), np.float32)
+    for d, (p, c, v) in enumerate(blocks):
+        ps[d, : len(p)] = p
+        cs[d, : len(c)] = c
+        vs[d, : len(v)] = v
+
+    return HaloSeedRows(
+        seed_pos=jnp.asarray(ps.reshape(-1)),
+        col_local=jnp.asarray(cs.reshape(-1)),
+        val=jnp.asarray(vs.reshape(-1)),
+        n_seed=S, e_seed=e_seed)
+
+
+def place_halo_seed_rows(sub: HaloSeedRows, mesh: Mesh,
+                         axis: str = "nodes") -> HaloSeedRows:
+    sh = NamedSharding(mesh, P(axis))
+    return dataclasses.replace(
+        sub,
+        seed_pos=jax.device_put(sub.seed_pos, sh),
+        col_local=jax.device_put(sub.col_local, sh),
+        val=jax.device_put(sub.val, sh))
+
+
+def spmm_halo_seed_rows(sub: HaloSeedRows, emb: jax.Array, mesh: Mesh,
+                        axis: str = "nodes") -> jax.Array:
+    """``(A @ emb)[seed]`` as per-shard column partials + one [S, d]
+    ``psum``; identical values to slicing the full halo SpMM (tested).
+    Returns a replicated [S, d] aggregate."""
+
+    def local(seed_pos, col_local, val, emb_local):
+        gathered = emb_local[col_local] * val[:, None]
+        agg = jax.ops.segment_sum(gathered, seed_pos,
+                                  num_segments=sub.n_seed)
+        return jax.lax.psum(agg, axis)
+
+    return jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis), P(axis)),
+        out_specs=P(),
+    )(sub.seed_pos, sub.col_local, sub.val, emb)
+
+
 def affinity_sharded(part: EdgePartition, emb: jax.Array, mesh: Mesh,
                      axis: str = "nodes") -> jax.Array:
     """Per-node local affinity with explicit collectives (the SDDMM +

@@ -444,6 +444,8 @@ def run_baseline(name: str, ds: GADDataset, args) -> dict:
         res = run_tam_baseline(ds, n_h=args.embedding_dim,
                                num_epoch=args.num_epoch or 500,
                                lr=args.lr or 1e-5, seed=args.seed,
+                               use_tam_split=getattr(args, "tam_split",
+                                                     True),
                                verbose=True)
     elif name in ("sage", "ggad-minibatch", "pcgnn", "dominant-minibatch",
                   "anomalydae-minibatch", "aegis-minibatch"):

@@ -248,7 +248,8 @@ class FullBatchTrainer:
             return step1(params, opt_state, rng, setup.part, setup.plan,
                          setup.raw_part, setup.raw_plan, features,
                          seed_idx, normal_idx, setup.tiles,
-                         setup.raw_tiles, setup.ax)
+                         setup.raw_tiles, setup.ax, setup.seed_rows,
+                         setup.aff_sub)
 
         def train_scan(params, opt_state, rng, adj, raw_adj, features,
                        seed_idx, normal_idx, n_steps, seed_adj=None,
@@ -259,15 +260,17 @@ class FullBatchTrainer:
             return scans[n_steps](
                 params, opt_state, rng, setup.part, setup.plan,
                 setup.raw_part, setup.raw_plan, features, seed_idx,
-                normal_idx, setup.tiles, setup.raw_tiles, setup.ax)
+                normal_idx, setup.tiles, setup.raw_tiles, setup.ax,
+                setup.seed_rows, setup.aff_sub)
 
-        eval_jit = jax.jit(lambda params, x_pad: halo_ggad_eval_scores(
-            params, setup.part, setup.plan, x_pad, self.mesh,
-            tiles=setup.tiles))
+        eval_jit = jax.jit(
+            lambda params, x_pad, ax: halo_ggad_eval_scores(
+                params, setup.part, setup.plan, x_pad, self.mesh,
+                tiles=setup.tiles, ax=ax))
 
         def eval_scores(params, rng, adj, features, seed_idx,
                         normal_idx, ax=None):
-            return eval_jit(params, features)[: ds.n_nodes]
+            return eval_jit(params, features, setup.ax)[: ds.n_nodes]
 
         self._train_step = train_step
         self._train_scan = train_scan

@@ -25,6 +25,11 @@ def main():
                     help="fraction of DGraph's 3.7M nodes")
     ap.add_argument("--epochs", type=int, default=3)
     ap.add_argument("--num_batches", type=int, default=150)
+    ap.add_argument("--data_dir", type=str, default=None,
+                    help="directory holding dgraphfin.npz")
+    ap.add_argument("--require_real", action="store_true",
+                    help="refuse the synthetic fallback (error when "
+                         "dgraphfin.npz is absent)")
     args = ap.parse_args()
 
     from ggad_tpu.datasets.loaders import load_dataset
@@ -32,8 +37,10 @@ def main():
     from ggad_tpu.train.minibatch import MiniBatchTrainer
 
     t0 = time.time()
-    ds = load_dataset("dgraphfin", synthetic_scale=args.scale, seed=0)
-    print(f"dataset: {ds.n_nodes}N {ds.n_edges}E {ds.feat_dim}F "
+    ds = load_dataset("dgraphfin", data_dir=args.data_dir,
+                      synthetic_scale=args.scale, seed=0,
+                      allow_synthetic=not args.require_real)
+    print(f"dataset: {ds.name} {ds.n_nodes}N {ds.n_edges}E {ds.feat_dim}F "
           f"({time.time() - t0:.1f}s to build)", flush=True)
 
     t0 = time.time()

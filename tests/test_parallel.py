@@ -251,7 +251,34 @@ def test_spmm_halo_bcsr_matches_single_device(mesh, schedule, rng):
     np.testing.assert_allclose(out, expect, rtol=1e-4, atol=1e-4)
 
 
-def test_spmm_halo_bcsr_grad(mesh, rng):
+@pytest.mark.parametrize("schedule", ["dense", "ring"])
+def test_affinity_halo_bcsr_matches_single_device(mesh, schedule, rng):
+    """The tile-kernel (Pallas-path) affinity matches the XLA oracle on
+    BOTH wire schedules — ``--spmm_impl pallas --dist_schedule ring``
+    reaches this in production."""
+    from ggad_tpu.graph import add_self_loops
+    from ggad_tpu.parallel.spmm_shard import (
+        affinity_halo_bcsr,
+        build_halo_bcsr,
+        place_halo_bcsr,
+    )
+
+    raw = add_self_loops(from_scipy(community_graph(200)))
+    part = partition_edges(raw, 8)
+    plan = build_halo_plan(part, schedule=schedule)
+    tiles = place_halo_bcsr(build_halo_bcsr(part, plan), mesh)
+    part = place_partition(part, mesh)
+    plan = place_halo_plan(plan, mesh)
+    emb = rng.normal(size=(200, 16)).astype(np.float32)
+
+    got = np.asarray(affinity_halo_bcsr(
+        part, plan, tiles, pad_nodes(jnp.asarray(emb), part), mesh))[:200]
+    expect = np.asarray(node_affinity(raw, jnp.asarray(emb)))
+    np.testing.assert_allclose(got, expect, rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("schedule", ["dense", "ring"])
+def test_spmm_halo_bcsr_grad(mesh, schedule, rng):
     from ggad_tpu.graph import add_self_loops
     from ggad_tpu.parallel.spmm_shard import (
         build_halo_bcsr,
@@ -261,7 +288,7 @@ def test_spmm_halo_bcsr_grad(mesh, rng):
 
     g = add_self_loops(from_scipy(random_graph(96, seed=6)))
     part = partition_edges(g, 8)
-    plan = build_halo_plan(part)
+    plan = build_halo_plan(part, schedule=schedule)
     tiles = place_halo_bcsr(build_halo_bcsr(part, plan), mesh)
     part = place_partition(part, mesh)
     plan = place_halo_plan(plan, mesh)
@@ -278,6 +305,101 @@ def test_spmm_halo_bcsr_grad(mesh, rng):
     g_b = np.asarray(jax.grad(f_bcsr)(x))
     g_s = np.asarray(jax.grad(f_single)(x))
     np.testing.assert_allclose(g_b, g_s, rtol=1e-4, atol=1e-4)
+
+
+def test_affinity_halo_subset_matches_full(mesh, rng):
+    """The distributed column-subset affinity equals the full halo
+    affinity at the requested nodes (incl. repeats: seeds ⊂ normals)."""
+    from ggad_tpu.graph import add_self_loops
+    from ggad_tpu.parallel.spmm_shard import (
+        affinity_halo_subset,
+        build_halo_affinity_subset,
+        place_halo_affinity_subset,
+    )
+
+    raw = add_self_loops(from_scipy(community_graph(200)))
+    part = partition_edges(raw, 8)
+    plan = build_halo_plan(part)
+    idx = np.concatenate([rng.choice(200, 40, replace=False),
+                          rng.choice(200, 12, replace=False)])
+    sub = place_halo_affinity_subset(
+        build_halo_affinity_subset(part, idx), mesh)
+    part = place_partition(part, mesh)
+    plan = place_halo_plan(plan, mesh)
+    emb = rng.normal(size=(200, 16)).astype(np.float32)
+    embp = pad_nodes(jnp.asarray(emb), part)
+
+    got = np.asarray(affinity_halo_subset(plan, sub, embp, mesh))
+    full = np.asarray(affinity_halo(part, plan, embp, mesh))
+    np.testing.assert_allclose(got, full[idx], rtol=1e-4, atol=1e-6)
+    expect = np.asarray(node_affinity(raw, jnp.asarray(emb)))[idx]
+    np.testing.assert_allclose(got, expect, rtol=1e-4, atol=1e-5)
+
+
+def test_affinity_halo_subset_grad(mesh, rng):
+    """Gradient crosses both psums (target assembly + numerator)."""
+    from ggad_tpu.graph import add_self_loops
+    from ggad_tpu.ops.sddmm import node_affinity as aff_single
+    from ggad_tpu.parallel.spmm_shard import (
+        affinity_halo_subset,
+        build_halo_affinity_subset,
+        place_halo_affinity_subset,
+    )
+
+    raw = add_self_loops(from_scipy(random_graph(96, seed=7)))
+    part = partition_edges(raw, 8)
+    plan = build_halo_plan(part)
+    idx = np.asarray(rng.choice(96, 24, replace=False))
+    sub = place_halo_affinity_subset(
+        build_halo_affinity_subset(part, idx), mesh)
+    part = place_partition(part, mesh)
+    plan = place_halo_plan(plan, mesh)
+    emb = jnp.asarray(rng.normal(size=(96, 8)).astype(np.float32))
+
+    def f_halo(e):
+        aff = affinity_halo_subset(plan, sub, pad_nodes(e, part), mesh)
+        return jnp.sum(jnp.sin(aff))
+
+    def f_single(e):
+        return jnp.sum(jnp.sin(aff_single(raw, e)[jnp.asarray(idx)]))
+
+    g_h = np.asarray(jax.grad(f_halo)(emb))
+    g_s = np.asarray(jax.grad(f_single)(emb))
+    np.testing.assert_allclose(g_h, g_s, rtol=1e-4, atol=1e-5)
+
+
+def test_spmm_halo_seed_rows_matches_slice(mesh, rng):
+    """(Â @ h)[seed] via per-shard column partials + one psum equals
+    slicing the full halo SpMM; gradient matches too."""
+    from ggad_tpu.graph import add_self_loops
+    from ggad_tpu.parallel.spmm_shard import (
+        build_halo_seed_rows,
+        place_halo_seed_rows,
+        spmm_halo_seed_rows,
+    )
+
+    g = add_self_loops(from_scipy(random_graph(200, seed=8)))
+    part = partition_edges(g, 8)
+    seeds = np.asarray(rng.choice(200, 18, replace=False))
+    sub = place_halo_seed_rows(build_halo_seed_rows(part, seeds), mesh)
+    part = place_partition(part, mesh)
+    x = rng.normal(size=(200, 16)).astype(np.float32)
+    xp = pad_nodes(jnp.asarray(x), part)
+
+    got = np.asarray(spmm_halo_seed_rows(sub, xp, mesh))
+    expect = np.asarray(spmm(g, jnp.asarray(x)))[seeds]
+    np.testing.assert_allclose(got, expect, rtol=1e-4, atol=1e-5)
+
+    def f_sub(h):
+        return jnp.sum(
+            spmm_halo_seed_rows(sub, pad_nodes(h, part), mesh) ** 2)
+
+    def f_single(h):
+        return jnp.sum(spmm(g, h)[jnp.asarray(seeds)] ** 2)
+
+    g_h = np.asarray(jax.grad(f_sub)(jnp.asarray(x)))
+    g_s = np.asarray(jax.grad(f_single)(jnp.asarray(x)))
+    np.testing.assert_allclose(g_h, g_s, rtol=1e-4, atol=1e-5)
 
 
 def test_halo_ggad_losses_match_flax(mesh):
@@ -317,6 +439,18 @@ def test_halo_ggad_losses_match_flax(mesh):
         np.testing.assert_allclose(
             float(getattr(got, field)), float(getattr(ref, field)),
             rtol=1e-4, atol=1e-5, err_msg=field)
+
+    # the production fast path (seed-row generator + subset affinity +
+    # hoisted layer 1) must give the same losses term by term
+    fast = halo_ggad_forward_and_losses(
+        params, setup.part, setup.plan, setup.x_pad, setup.seed_idx,
+        setup.normal_idx, noise, setup.raw_part, setup.raw_plan, mesh,
+        ax=setup.ax, seed_rows=setup.seed_rows, aff_sub=setup.aff_sub)
+    for field in ("total", "bce", "margin", "rec", "affinity_normal",
+                  "affinity_outlier"):
+        np.testing.assert_allclose(
+            float(getattr(fast, field)), float(getattr(ref, field)),
+            rtol=1e-4, atol=1e-5, err_msg=f"fast path: {field}")
 
 
 def test_halo_ggad_losses_match_flax_pallas_tiles(mesh):
