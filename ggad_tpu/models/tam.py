@@ -17,6 +17,13 @@ static), so the whole ensemble — every (cutting × N_tree) member — trains
 in parallel under one ``jax.vmap`` over (params, edge-values) instead of
 the reference's sequential Python loop. Truncation itself is a pure
 device function (segment-max + where), no row loops.
+
+The member SpMMs run on SHARED ELL neighbor tables
+(``ops/ell_spmm.ELLValueMap``): the slot structure is built once from
+the raw graph and only the per-member value planes differ, so the
+vmapped aggregation peaks at a [chunk, N, d] slot buffer instead of the
+[chunk, E, d] gather blow-up that previously forced ``member_chunk≈1``
+at photo scale — the whole ensemble now trains in one vmap.
 """
 
 from __future__ import annotations
@@ -146,23 +153,44 @@ def run_tam(
     training in memory-bounded member chunks.
 
     ``member_chunk``: how many ensemble members train concurrently under
-    one vmap (None = auto: bound the [chunk, E, 2·n_h] SpMM gather buffer
-    to ~1.5 GB — the full 8-member vmap OOMs a 16 GB chip at photo
-    scale). The reference trains members strictly sequentially
+    one vmap (None = auto: the shared-structure ELL aggregation peaks at
+    a [chunk, N, max(2·n_h, K)] slot buffer, so the default covers the
+    WHOLE ensemble at photo scale; the bound only kicks in on huge
+    graphs). The reference trains members strictly sequentially
     (``tam.py:173-201``); chunking preserves per-member trajectories.
     """
     import optax
+
+    from ggad_tpu.ops.ell_spmm import (
+        ELLGraph,
+        ELLPair,
+        as_ell_graph,
+        ell_remap_values,
+        ell_value_maps,
+    )
 
     x = jnp.asarray(features, jnp.float32)
     normal_idx = jnp.asarray(normal_idx, jnp.int32)
     t_perm = jnp.asarray(transpose_permutation(raw_adj))
     dis = edge_feature_distance(raw_adj, x)
 
+    # shared ELL structure: slot tables built ONCE from the raw graph;
+    # members differ only in the value planes (same cut structure)
+    raw_ell = as_ell_graph(raw_adj)
+    e = raw_adj.n_edges
+    row_e = np.asarray(raw_adj.row)[:e]
+    col_e = np.asarray(raw_adj.col)[:e]
+    fmap = ell_value_maps(row_e, col_e, raw_adj.n_nodes,
+                          raw_ell.tables.fwd.k)
+    bmap = ell_value_maps(row_e, col_e, raw_adj.n_nodes,
+                          raw_ell.tables.bwd.k, transpose=True)
+
     n_members = cutting * n_tree
     if member_chunk is None:
-        gather_bytes = raw_adj.e_pad * 2 * n_h * 4
+        slot_bytes = raw_adj.n_nodes * max(
+            2 * n_h, raw_ell.tables.fwd.k) * 4
         member_chunk = max(1, min(n_members,
-                                  int(1.5e9 // max(gather_bytes, 1))))
+                                  int(4e9 // max(slot_bytes * 6, 1))))
     rng = jax.random.PRNGKey(seed)
 
     # ---- build the cut-value stack (sequential in cuts, per tree) ------
@@ -176,22 +204,45 @@ def run_tam(
     val_stack = jnp.stack(member_vals)              # [M, E_pad]
     norm_stack = jax.vmap(lambda v: sym_normalize_vals(v, raw_adj))(val_stack)
 
+    def to_planes(v, fm, bm):
+        """Edge-order values → per-member ELL value planes."""
+        fv, fov = ell_remap_values(fm, v)
+        bv, bov = ell_remap_values(bm, v)
+        return {"edge": v, "fv": fv, "fov": fov, "bv": bv, "bov": bov}
+
+    plane_stack = jax.jit(jax.vmap(to_planes, in_axes=(0, None, None)))(
+        norm_stack, fmap, bmap)
+
     # ---- vmapped ensemble training (chunked over members) --------------
     model = TAMEncoder(n_h=n_h)
     tx = optax.adam(lr)
 
     def init_one(key):
-        return model.init({"params": key}, raw_adj, x)
+        return model.init({"params": key}, raw_ell, x)
 
     rng, ikey = jax.random.split(rng)
     member_keys = jax.random.split(ikey, n_members)
 
-    def one_step(p, o, adj_val):
-        adj_m = dataclasses.replace(raw_adj, val=adj_val)
+    def member_graph(planes, ell_d):
+        """Per-member cut graph on the shared ELL slot structure."""
+        tables = ELLPair(
+            fwd=dataclasses.replace(ell_d.tables.fwd,
+                                    val=planes["fv"],
+                                    ov_val=planes["fov"]),
+            bwd=dataclasses.replace(ell_d.tables.bwd,
+                                    val=planes["bv"],
+                                    ov_val=planes["bov"]),
+            n_nodes=raw_adj.n_nodes)
+        return ELLGraph(
+            graph=dataclasses.replace(ell_d.graph, val=planes["edge"]),
+            tables=tables)
+
+    def one_step(p, o, planes, xd, ell_d):
+        adj_m = member_graph(planes, ell_d)
 
         def loss_fn(p):
-            emb = model.apply(p, adj_m, x)
-            loss, message = tam_loss(emb, raw_adj, normal_idx)
+            emb = model.apply(p, adj_m, xd)
+            loss, message = tam_loss(emb, ell_d, normal_idx)
             return loss, message
 
         (loss, message), grads = jax.value_and_grad(
@@ -202,19 +253,23 @@ def run_tam(
 
     from functools import partial
 
-    @partial(jax.jit, static_argnums=(3,))
-    def epoch_block(params, opt_state, norm_chunk, n_steps):
+    # x / the shared ELL structure enter as jit ARGUMENTS (payload rule:
+    # closed-over arrays ship with the compile payload)
+    @partial(jax.jit, static_argnums=(5,))
+    def epoch_block(params, opt_state, plane_chunk, xd, ell_d, n_steps):
         """``n_steps`` vmapped ensemble epochs fused into one dispatch
         (per-epoch host round-trips otherwise dominate TAM's wall time:
         cutting × num_epoch dispatches)."""
-        m = norm_chunk.shape[0]
+        m = plane_chunk["edge"].shape[0]
         init = (params, opt_state,
                 jnp.zeros((m,), jnp.float32),
                 jnp.zeros((m, raw_adj.n_nodes), jnp.float32))
 
         def body(carry, _):
             p, o, _, _ = carry
-            p, o, loss, msg = jax.vmap(one_step)(p, o, norm_chunk)
+            p, o, loss, msg = jax.vmap(
+                one_step, in_axes=(0, 0, 0, None, None))(
+                p, o, plane_chunk, xd, ell_d)
             return (p, o, loss, msg), None
 
         (params, opt_state, loss, message), _ = jax.lax.scan(
@@ -225,7 +280,8 @@ def run_tam(
     chunk_messages = []
     for start in range(0, n_members, member_chunk):
         keys = member_keys[start:start + member_chunk]
-        norm_chunk = norm_stack[start:start + member_chunk]
+        plane_chunk = jax.tree.map(
+            lambda a: a[start:start + member_chunk], plane_stack)
         params = jax.vmap(init_one)(keys)
         opt_state = jax.vmap(tx.init)(params)
         message = None
@@ -233,7 +289,7 @@ def run_tam(
         while ep < num_epoch:
             n = min(block, num_epoch - ep)
             params, opt_state, loss, message = epoch_block(
-                params, opt_state, norm_chunk, n)
+                params, opt_state, plane_chunk, x, raw_ell, n)
             ep += n
             if verbose:
                 print(f"tam members {start}+ epoch {ep}: mean loss "

@@ -72,6 +72,29 @@ def _pick_k(degrees: np.ndarray, coverage: float, k_max: int) -> int:
     return k_max
 
 
+def _ell_layout(row, col, n_rows, k=None, coverage=0.98, k_max=64):
+    """Shared slot-assignment logic: lexsort edges, assign each to its
+    row slot, split ELL vs overflow. Returns
+    ``(order, row_s, col_s, slot, in_ell, k, e_ov_pad)`` where ``order``
+    maps sorted position → ORIGINAL edge index."""
+    row = np.asarray(row, dtype=np.int64)
+    col = np.asarray(col, dtype=np.int64)
+    order = np.lexsort((col, row))
+    row_s, col_s = row[order], col[order]
+
+    degrees = np.bincount(row_s, minlength=n_rows)
+    if k is None:
+        k = _pick_k(degrees, coverage, k_max)
+
+    starts = np.zeros(n_rows + 1, dtype=np.int64)
+    starts[1:] = np.cumsum(degrees)
+    slot = np.arange(row_s.shape[0]) - starts[row_s]
+    in_ell = slot < k
+    n_ov = int((~in_ell).sum())
+    e_ov_pad = max(_round_up(n_ov, 512), 512) if n_ov else 0
+    return order, row_s, col_s, slot, in_ell, k, e_ov_pad
+
+
 def ell_from_coo(row: np.ndarray, col: np.ndarray, val: np.ndarray,
                  n_rows: int, *, k: int | None = None,
                  coverage: float = 0.98, k_max: int = 64,
@@ -82,36 +105,24 @@ def ell_from_coo(row: np.ndarray, col: np.ndarray, val: np.ndarray,
     (bf16 tables halve HBM traffic; accumulation stays f32 — same policy
     as the BCSR kernels' ``spmm_dtype``). Overflow edges stay f32 (tiny).
     """
-    row = np.asarray(row, dtype=np.int64)
-    col = np.asarray(col, dtype=np.int64)
     val = np.asarray(val, dtype=np.float32)
-    order = np.lexsort((col, row))
-    row, col, val = row[order], col[order], val[order]
+    order, row_s, col_s, slot, in_ell, k, e_ov_pad = _ell_layout(
+        row, col, n_rows, k, coverage, k_max)
+    val_s = val[order]
 
-    degrees = np.bincount(row, minlength=n_rows)
-    if k is None:
-        k = _pick_k(degrees, coverage, k_max)
-
-    # slot index of each edge within its row
-    starts = np.zeros(n_rows + 1, dtype=np.int64)
-    starts[1:] = np.cumsum(degrees)
-    slot = np.arange(row.shape[0]) - starts[row]
-
-    in_ell = slot < k
     idx = np.zeros((n_rows, k), dtype=np.int32)
     ell_val = np.zeros((n_rows, k), dtype=np.float32)
-    idx[row[in_ell], slot[in_ell]] = col[in_ell]
-    ell_val[row[in_ell], slot[in_ell]] = val[in_ell]
+    idx[row_s[in_ell], slot[in_ell]] = col_s[in_ell]
+    ell_val[row_s[in_ell], slot[in_ell]] = val_s[in_ell]
 
     ov = ~in_ell
     n_ov = int(ov.sum())
-    e_ov_pad = max(_round_up(n_ov, 512), 512) if n_ov else 0
     ov_row = np.zeros(e_ov_pad, dtype=np.int32)
     ov_col = np.zeros(e_ov_pad, dtype=np.int32)
     ov_val = np.zeros(e_ov_pad, dtype=np.float32)
-    ov_row[:n_ov] = row[ov]
-    ov_col[:n_ov] = col[ov]
-    ov_val[:n_ov] = val[ov]
+    ov_row[:n_ov] = row_s[ov]
+    ov_col[:n_ov] = col_s[ov]
+    ov_val[:n_ov] = val_s[ov]
     if n_ov:
         # pad with the LAST real row id (vals are 0) so segment_sum's
         # indices_are_sorted promise actually holds
@@ -121,6 +132,60 @@ def ell_from_coo(row: np.ndarray, col: np.ndarray, val: np.ndarray,
                val=jnp.asarray(ell_val).astype(jnp.dtype(dtype)),
                ov_row=jnp.asarray(ov_row), ov_col=jnp.asarray(ov_col),
                ov_val=jnp.asarray(ov_val), n_rows=int(n_rows))
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class ELLValueMap:
+    """Edge-order → ELL-layout value remap for one orientation.
+
+    For a fixed structure whose edge VALUES vary (TAM's NSGT cut
+    ensemble: every member is the same graph with different values —
+    ``utils_tam.py:222-240``), the ELL tables can be shared and only the
+    value planes rebuilt per member:
+
+        ell_val = where(slot_mask, v[slot_map], 0)     # [N, K]
+        ov_val  = where(ov_mask,  v[ov_map],  0)       # [E_ov_pad]
+
+    where ``v`` is the [E_pad] edge-value vector in the GRAPH's sorted
+    edge order.
+    """
+
+    slot_map: jax.Array   # [N, K] int32 edge index (0 where empty)
+    slot_mask: jax.Array  # [N, K] bool
+    ov_map: jax.Array     # [E_ov_pad] int32
+    ov_mask: jax.Array    # [E_ov_pad] bool
+
+
+def ell_value_maps(row, col, n_rows: int, k: int,
+                   transpose: bool = False) -> ELLValueMap:
+    """Host-side: build the edge→slot maps matching ``ell_from_coo``'s
+    layout exactly (same lexsort, same slot split). ``row``/``col`` are
+    the graph's REAL edges in its edge order; ``transpose=True`` maps
+    into the transposed table (rows of Aᵀ)."""
+    if transpose:
+        row, col = col, row
+    order, row_s, col_s, slot, in_ell, k, e_ov_pad = _ell_layout(
+        row, col, n_rows, k)
+    slot_map = np.zeros((n_rows, k), np.int32)
+    slot_mask = np.zeros((n_rows, k), bool)
+    slot_map[row_s[in_ell], slot[in_ell]] = order[in_ell]
+    slot_mask[row_s[in_ell], slot[in_ell]] = True
+    n_ov = int((~in_ell).sum())
+    ov_map = np.zeros(e_ov_pad, np.int32)
+    ov_mask = np.zeros(e_ov_pad, bool)
+    ov_map[:n_ov] = order[~in_ell]
+    ov_mask[:n_ov] = True
+    return ELLValueMap(
+        slot_map=jnp.asarray(slot_map), slot_mask=jnp.asarray(slot_mask),
+        ov_map=jnp.asarray(ov_map), ov_mask=jnp.asarray(ov_mask))
+
+
+def ell_remap_values(m: ELLValueMap, v: jax.Array):
+    """Device-side: edge-order values → (ELL val plane, overflow vals)."""
+    ell_val = jnp.where(m.slot_mask, v[m.slot_map], 0.0)
+    ov_val = jnp.where(m.ov_mask, v[m.ov_map], 0.0)
+    return ell_val, ov_val
 
 
 @jax.tree_util.register_dataclass

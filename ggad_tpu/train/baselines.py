@@ -387,13 +387,19 @@ def run_gaan(ds: GADDataset, *, num_epoch: int = 100, lr: float = 1e-3,
 def run_tam_baseline(ds: GADDataset, *, n_h: int = 300, cutting: int = 8,
                      n_tree: int = 1, num_epoch: int = 500, lr: float = 1e-5,
                      seed: int = 0, use_tam_split: bool = True,
+                     eval_every: int | None = None,
                      verbose: bool = False,
                      logger=None) -> BaselineResult:
     """TAM driver. ``use_tam_split=True`` (default) reproduces TAM's own
     protocol — 80% labeled normals + active 15% real-anomaly
     contamination of the labeled set, contaminants removed from test
     (reference ``utils_tam.py:159-178``) — instead of the GGAD split the
-    dataset ships with."""
+    dataset ships with.
+
+    History carries one AUROC/AP entry per ensemble ROUND (the running
+    cumulative-mean score after each cut, reference ``tam.py:206-237``) —
+    TAM's natural eval cadence; ``eval_every`` subsamples the rounds.
+    """
     from ggad_tpu.models.tam import run_tam
 
     t0 = time.time()
@@ -411,12 +417,27 @@ def run_tam_baseline(ds: GADDataset, *, n_h: int = 300, cutting: int = 8,
     res = run_tam(graph, raw_adj, ds.features, normal_idx,
                   n_h=n_h, cutting=cutting, n_tree=n_tree,
                   num_epoch=num_epoch, lr=lr, seed=seed, verbose=verbose)
+    history = []
+    stride = max(int(eval_every or 1), 1)
+    for r in range(0, cutting, stride):
+        s = res.per_round_scores[r]
+        rec = {"round": r + 1,
+               "auc": roc_auc(ds.ano_labels[idx_test], s[idx_test]),
+               "ap": average_precision(ds.ano_labels[idx_test],
+                                       s[idx_test])}
+        history.append(rec)
+        if logger:
+            logger(rec)
+        if verbose:
+            print(f"tam round {r + 1}/{cutting}: AUROC {rec['auc']:.4f} "
+                  f"AP {rec['ap']:.4f}")
     auc = roc_auc(ds.ano_labels[idx_test], res.scores[idx_test])
     ap = average_precision(ds.ano_labels[idx_test], res.scores[idx_test])
     rec = {"epoch": num_epoch, "auc": auc, "ap": ap}
+    history.append(rec)
     if logger:
         logger(rec)
-    return BaselineResult(auc=auc, ap=ap, history=[rec],
+    return BaselineResult(auc=auc, ap=ap, history=history,
                           wall_time_s=time.time() - t0)
 
 
@@ -446,7 +467,7 @@ def run_baseline(name: str, ds: GADDataset, args) -> dict:
                                lr=args.lr or 1e-5, seed=args.seed,
                                use_tam_split=getattr(args, "tam_split",
                                                      True),
-                               verbose=True)
+                               eval_every=args.eval_every, verbose=True)
     elif name in ("sage", "ggad-minibatch", "pcgnn", "dominant-minibatch",
                   "anomalydae-minibatch", "aegis-minibatch"):
         return run_minibatch_model(name, ds, args)

@@ -41,6 +41,11 @@ def build_graph(args):
         seed_frac=0.15)
 
 
+def _psum_bytes(n_elems, d):
+    """Per-device wire bytes of a ring all-reduce of n_elems f32."""
+    return 2 * n_elems * 4 * (d - 1) / max(d, 1)
+
+
 def comm_row(ds, d, n_h, schedule="dense"):
     from ggad_tpu.graph import from_scipy
     from ggad_tpu.ops.normalize import normalize_adj_reference
@@ -57,9 +62,22 @@ def comm_row(ds, d, n_h, schedule="dense"):
     raw_plan = build_halo_plan(raw_part, schedule=schedule)
     s = halo_comm_stats(plan, n_h)
     sr = halo_comm_stats(raw_plan, n_h)
-    # one GGAD step: gcn1+gcn2+generator SpMMs (fwd + transposed bwd each)
-    # on adj, affinity fwd+bwd on raw
-    step_bytes = 6 * s["spmm_halo_bytes"] + 2 * sr["affinity_halo_bytes"]
+
+    # production GGAD step (round 3): gcn1 is hoisted (no per-step
+    # exchange), the generator is a [S, n_h] psum each way (seed-row
+    # subgraph) and the affinity two small psums ([U, n_h] targets +
+    # [U] partials, each way) — only gcn2's SpMM still rides the
+    # boundary halo (fwd + transposed bwd).
+    n_seed = len(ds.abnormal_label_idx)
+    n_uniq = len(np.unique(np.concatenate([
+        np.asarray(ds.normal_label_idx),
+        np.asarray(ds.abnormal_label_idx)])))
+    small = (2 * _psum_bytes(n_seed * n_h, d)            # generator
+             + 2 * _psum_bytes(n_uniq * (n_h + 1), d))   # affinity
+    step_bytes = 2 * s["spmm_halo_bytes"] + small
+    # the pre-round-3 step for comparison: 6 SpMM exchanges + 2
+    # full-affinity exchanges
+    legacy_bytes = 6 * s["spmm_halo_bytes"] + 2 * sr["affinity_halo_bytes"]
     allgather_bytes = 8 * s["allgather_bytes"]
     row = {
         "devices": d,
@@ -67,16 +85,14 @@ def comm_row(ds, d, n_h, schedule="dense"):
         "boundary_rows": s["boundary_rows"],
         "boundary_frac_of_N": round(s["boundary_rows"] / ds.n_nodes, 4),
         "halo_step_MB_per_device": round(step_bytes / 2**20, 2),
+        "legacy_step_MB_per_device": round(legacy_bytes / 2**20, 2),
         "allgather_step_MB_per_device": round(allgather_bytes / 2**20, 2),
         "comm_reduction_x": round(allgather_bytes / max(step_bytes, 1), 1),
     }
     if schedule != "ring" and d > 1:
         # the per-distance-padded alternative, for the same partition
         rs = halo_comm_stats(build_halo_plan(part, schedule="ring"), n_h)
-        rr = halo_comm_stats(
-            build_halo_plan(raw_part, schedule="ring"), n_h)
-        ring_bytes = (6 * rs["spmm_halo_bytes"]
-                      + 2 * rr["affinity_halo_bytes"])
+        ring_bytes = 2 * rs["spmm_halo_bytes"] + small
         row["ring_step_MB_per_device"] = round(ring_bytes / 2**20, 2)
         row["ring_vs_dense_x"] = round(step_bytes / max(ring_bytes, 1), 2)
     return row
@@ -123,7 +139,8 @@ def time_step(ds, d, n_h, iters=10, spmm_impl="xla",
         params, opt_state, losses = steps[k](
             params, opt_state, key, setup.part, setup.plan,
             setup.raw_part, setup.raw_plan, setup.x_pad, setup.seed_idx,
-            setup.normal_idx, setup.tiles, setup.raw_tiles, setup.ax)
+            setup.normal_idx, setup.tiles, setup.raw_tiles, setup.ax,
+            setup.seed_rows, setup.aff_sub)
         jax.block_until_ready(losses.total)
         return params, opt_state, rng, time.perf_counter() - t0
 

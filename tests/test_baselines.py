@@ -162,9 +162,31 @@ class TestTAM:
         from ggad_tpu.train.baselines import run_tam_baseline
 
         res = run_tam_baseline(small_ds, n_h=32, cutting=3, n_tree=1,
-                               num_epoch=40, lr=1e-4)
+                               num_epoch=40, lr=1e-4, eval_every=1)
         assert np.isfinite(res.auc)
         assert res.auc > 0.45  # sanity: not anti-correlated
+        # per-round history (one AUROC per ensemble round + final)
+        rounds = [h for h in res.history if "round" in h]
+        assert [h["round"] for h in rounds] == [1, 2, 3]
+        assert all(np.isfinite(h["auc"]) for h in res.history)
+
+    def test_tam_member_chunk_invariant(self, small_ds):
+        """Full-ensemble vmap (shared-structure ELL) must reproduce the
+        sequential member_chunk=1 trajectories (the reference trains
+        members sequentially, tam.py:173-201)."""
+        from ggad_tpu.graph import add_self_loops, from_scipy
+        from ggad_tpu.models.tam import run_tam
+
+        g = from_scipy(small_ds.adj)
+        raw = add_self_loops(g)
+        kw = dict(n_h=16, cutting=3, n_tree=1, num_epoch=10, lr=1e-4,
+                  seed=0)
+        full = run_tam(g, raw, small_ds.features,
+                       small_ds.normal_label_idx, **kw)
+        seq = run_tam(g, raw, small_ds.features,
+                      small_ds.normal_label_idx, member_chunk=1, **kw)
+        np.testing.assert_allclose(full.scores, seq.scores,
+                                   rtol=1e-4, atol=1e-5)
 
 
 @pytest.mark.parametrize("name", ["dominant-minibatch",

@@ -157,3 +157,48 @@ def test_trainer_ell_impl_trajectory(rng):
         [h["loss"] for h in res["ell"].history if "loss" in h],
         [h["loss"] for h in res["xla"].history if "loss" in h],
         rtol=1e-3, atol=1e-4)
+
+
+def test_ell_value_maps_reproduce_tables(rng):
+    """ell_remap_values over the edge-order value vector reproduces
+    ell_from_coo's value planes exactly — incl. overflow (hub graph)."""
+    from ggad_tpu.ops.ell_spmm import ell_remap_values, ell_value_maps
+
+    for mat in (random_graph(200, seed=4), hub_graph(150, seed=5)):
+        g = from_scipy(mat)
+        e = as_ell_graph(g)
+        row = np.asarray(g.row)[: g.n_edges]
+        col = np.asarray(g.col)[: g.n_edges]
+        fmap = ell_value_maps(row, col, g.n_nodes, e.tables.fwd.k)
+        bmap = ell_value_maps(row, col, g.n_nodes, e.tables.bwd.k,
+                              transpose=True)
+        # fresh random values on the SAME structure
+        v = np.zeros(g.e_pad, np.float32)
+        v[: g.n_edges] = rng.normal(size=g.n_edges).astype(np.float32)
+        fv, fov = ell_remap_values(fmap, jnp.asarray(v))
+        bv, bov = ell_remap_values(bmap, jnp.asarray(v))
+        oracle_f = ell_from_coo(row, col, v[: g.n_edges], g.n_nodes,
+                                k=e.tables.fwd.k)
+        oracle_b = ell_from_coo(col, row, v[: g.n_edges], g.n_nodes,
+                                k=e.tables.bwd.k)
+        np.testing.assert_array_equal(np.asarray(fv),
+                                      np.asarray(oracle_f.val))
+        np.testing.assert_array_equal(np.asarray(fov),
+                                      np.asarray(oracle_f.ov_val))
+        np.testing.assert_array_equal(np.asarray(bv),
+                                      np.asarray(oracle_b.val))
+        np.testing.assert_array_equal(np.asarray(bov),
+                                      np.asarray(oracle_b.ov_val))
+        # and the remapped planes drive an exact SpMM
+        import dataclasses
+        from ggad_tpu.ops.ell_spmm import ELLPair
+        pair = ELLPair(
+            fwd=dataclasses.replace(e.tables.fwd, val=fv, ov_val=fov),
+            bwd=dataclasses.replace(e.tables.bwd, val=bv, ov_val=bov),
+            n_nodes=g.n_nodes)
+        x = jnp.asarray(rng.normal(size=(g.n_nodes, 24)).astype(np.float32))
+        got = np.asarray(ell_spmm(pair, x))
+        from ggad_tpu.ops.spmm import spmm_coo
+        expect = np.asarray(spmm_coo(g.row, g.col, jnp.asarray(v), x,
+                                     g.n_nodes))
+        np.testing.assert_allclose(got, expect, rtol=1e-4, atol=1e-5)

@@ -1,5 +1,7 @@
 """Loader routing: real-file routes must be reachable, fallbacks loud."""
 
+import os
+
 import numpy as np
 import pytest
 import scipy.sparse as sp
@@ -85,3 +87,48 @@ def test_dgraphfin_dataset_feeds_minibatch_split(tiny_npz_dir):
         "dgraphfin", ds.ano_labels, seed=72)
     assert len(idx_train) > 0 and len(idx_anom) > 0
     assert np.all(labels[idx_anom] == 1)
+
+
+def test_parity_run_harness(tiny_npz_dir, tmp_path, capsys, monkeypatch):
+    """scripts/parity_run.py end-to-end on a tiny real npz + mat:
+    runs the pinned presets, refuses synthetic, appends to BASELINE.md."""
+    import runpy
+    import scipy.io as sio
+    import scipy.sparse as sp
+    import shutil
+    import sys as _sys
+
+    d, _, _, _ = tiny_npz_dir
+    # a tiny reference-format photo.mat in the same dir
+    rng = np.random.default_rng(1)
+    n = 200
+    adj = sp.random(n, n, density=0.05, random_state=np.random.RandomState(0),
+                    format="csr", dtype=np.float32)
+    adj = ((adj + adj.T) > 0).astype(np.float32)
+    labels = (rng.random(n) < 0.1).astype(np.float64)
+    sio.savemat(d / "photo.mat", {
+        "Network": adj, "Attributes": rng.normal(size=(n, 8)),
+        "Label": labels.reshape(-1, 1)})
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    baseline = os.path.join(repo, "BASELINE.md")
+    backup = str(tmp_path / "BASELINE.md.bak")
+    shutil.copy(baseline, backup)
+    try:
+        monkeypatch.setattr(_sys, "argv", [
+            "parity_run.py", "--all", "--data_dir", str(d),
+            "--num_epoch", "3", "--dgraph_epochs", "2", "--seeds", "1",
+            "--spmm_impl", "xla"])
+        with pytest.raises(SystemExit) as exc:
+            runpy.run_path(os.path.join(repo, "scripts", "parity_run.py"),
+                           run_name="__main__")
+        assert exc.value.code == 0
+        out = capsys.readouterr().out
+        assert '"dataset": "photo"' in out
+        assert '"dataset": "dgraphfin"' in out
+        with open(baseline) as f:
+            txt = f.read()
+        assert "Real-dataset parity run" in txt
+        assert "| photo | full-batch |" in txt
+    finally:
+        shutil.copy(backup, baseline)
