@@ -109,6 +109,85 @@ def bench_tpu_step(ds, *, spmm_dtype="float32", scan_steps=20, n_windows=5):
     return med, detail
 
 
+def bench_bcsr_kernel(ds, *, dtype="bfloat16", n_h=300, scan_steps=20,
+                      n_windows=3):
+    """Isolated BCSR SpMM forward: achieved TFLOP/s, MXU utilization and
+    HBM bandwidth vs the chip roofline (regression canary for the hot
+    kernel — step-level numbers can hide a kernel slowdown behind fusion
+    changes).
+
+    FLOPs are counted over the full tile store (the MXU multiplies every
+    slot of every occupied 128x128 tile, zeros included) — utilization
+    is therefore the kernel-efficiency number, not the algorithmic
+    useful-work fraction. Peaks default to TPU v5e (override via
+    GGAD_PEAK_BF16_TFLOPS / GGAD_PEAK_HBM_GBS for other chips);
+    f32-HIGHEST runs 6 bf16 MXU passes per product.
+    """
+    import jax
+    import jax.numpy as jnp
+    from functools import partial
+
+    from ggad_tpu.graph import from_scipy
+    from ggad_tpu.ops.normalize import normalize_adj_reference
+    from ggad_tpu.ops.pallas_spmm import TILE, as_bcsr_graph, bcsr_spmm
+
+    peak_bf16 = float(os.environ.get("GGAD_PEAK_BF16_TFLOPS", 197.0)) * 1e12
+    peak_hbm = float(os.environ.get("GGAD_PEAK_HBM_GBS", 819.0)) * 1e9
+    peak_mxu = peak_bf16 if dtype == "bfloat16" else peak_bf16 / 6.0
+
+    adj, _ = normalize_adj_reference(from_scipy(ds.adj))
+    g = as_bcsr_graph(adj, dtype=dtype)
+    tiles = g.tiles
+    n_tiles = tiles.fwd.n_tiles
+    d_pad = ((n_h + TILE - 1) // TILE) * TILE
+
+    @partial(jax.jit, static_argnums=(2,))
+    def chain(tiles, h, k):
+        def body(h, _):
+            out = bcsr_spmm(tiles, h)
+            # keep magnitudes bounded; VPU cost is negligible vs the MXU
+            return out * jax.lax.rsqrt(
+                jnp.mean(jnp.square(out)) + 1e-6), None
+
+        h, _ = jax.lax.scan(body, h, None, length=k)
+        return h
+
+    h0 = jax.random.normal(jax.random.PRNGKey(0), (adj.n_nodes, n_h),
+                           jnp.float32)
+    for k in (scan_steps, 2 * scan_steps):  # compile
+        jax.block_until_ready(chain(tiles, h0, k))
+    est = []
+    for _ in range(n_windows):
+        t0 = time.perf_counter()
+        jax.block_until_ready(chain(tiles, h0, scan_steps))
+        t1 = time.perf_counter()
+        jax.block_until_ready(chain(tiles, h0, 2 * scan_steps))
+        t2 = time.perf_counter()
+        est.append(max(((t2 - t1) - (t1 - t0)) / scan_steps, 1e-9))
+    dt = statistics.median(est)
+
+    flops = 2.0 * n_tiles * TILE * TILE * d_pad
+    val_bytes = 2 if dtype == "bfloat16" else 4
+    # tile store + one H slab read per occupied tile + output writes
+    hbm_bytes = (n_tiles * TILE * TILE * val_bytes
+                 + n_tiles * TILE * d_pad * val_bytes
+                 + tiles.fwd.n_rows * d_pad * 4)
+    tflops = flops / dt
+    gbs = hbm_bytes / dt
+    util_mxu = tflops / peak_mxu
+    util_hbm = gbs / peak_hbm
+    return {
+        "dtype": dtype,
+        "spmm_fwd_ms": round(dt * 1e3, 3),
+        "n_tiles": int(n_tiles),
+        "achieved_tflops": round(tflops / 1e12, 2),
+        "mxu_util": round(util_mxu, 3),
+        "achieved_hbm_gbs": round(gbs / 1e9, 1),
+        "hbm_util": round(util_hbm, 3),
+        "bound": "mxu" if util_mxu >= util_hbm else "hbm",
+    }
+
+
 def bench_reference_style_step(ds, n_iter=3):
     """Reference-style dense-adjacency training step on CPU (torch).
 
@@ -178,6 +257,10 @@ def main():
                                         scan_steps=20, n_windows=5)
     tpu_dt_f32, f32_detail = bench_tpu_step(ds, spmm_dtype="float32",
                                             scan_steps=10, n_windows=3)
+    kernel = {
+        "bf16": bench_bcsr_kernel(ds, dtype="bfloat16"),
+        "f32_highest": bench_bcsr_kernel(ds, dtype="float32"),
+    }
     ref_dt = bench_reference_style_step(ds)
 
     edges_per_s = edges / tpu_dt
@@ -191,6 +274,7 @@ def main():
     }
     detail.update(tpu_detail)
     detail["f32_step_ms_windows"] = f32_detail["step_ms_windows"]
+    detail["kernel"] = kernel
     result = {
         "metric": "ggad_fullbatch_train_edge_updates_per_s",
         "value": round(edges_per_s, 1),

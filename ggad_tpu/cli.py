@@ -70,11 +70,12 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["halo", "gspmd"],
                    help="multi-device schedule for --mesh_devices")
     p.add_argument("--dist_schedule", type=str, default="dense",
-                   choices=["dense", "ring"],
+                   choices=["dense", "ring", "sched"],
                    help="halo wire schedule: dense = one all_to_all "
                         "(global-max padding), ring = per-distance-padded "
-                        "ppermute hops (less wire volume at high device "
-                        "counts / skewed boundaries)")
+                        "ppermute rounds, sched = matched rounds "
+                        "(max-weight matchings; wins on skewed "
+                        "boundaries, falls back to ring otherwise)")
     p.add_argument("--score_only", action="store_true",
                    help="restore --checkpoint_dir and score the dataset "
                         "instead of training (ggad only)")

@@ -193,6 +193,13 @@ class HaloPlan:
     rows_per_shard: int = dataclasses.field(metadata=dict(static=True))
     dist_widths: tuple = dataclasses.field(
         default=(), metadata=dict(static=True))
+    # per-round destination permutations (round r: src s → dist_perms[r][s]).
+    # Empty with dist_widths set = the ring default (s+k) mod D; set by
+    # schedule='sched' (matched rounds: per-round max-weight matchings —
+    # beats fixed distance pairing when boundary widths are skewed
+    # across peer pairs).
+    dist_perms: tuple = dataclasses.field(
+        default=(), metadata=dict(static=True))
 
     @property
     def buf_width(self) -> int:
@@ -200,6 +207,13 @@ class HaloPlan:
         if self.dist_widths:
             return int(sum(self.dist_widths))
         return self.n_shards * self.boundary
+
+    def round_perm(self, r: int) -> list:
+        """Destination of each source shard in exchange round r."""
+        D = self.n_shards
+        if self.dist_perms:
+            return list(self.dist_perms[r])
+        return [(s + r + 1) % D for s in range(D)]
 
 
 def _halo_exchange(plan: HaloPlan, send: jax.Array, axis: str) -> jax.Array:
@@ -215,10 +229,11 @@ def _halo_exchange(plan: HaloPlan, send: jax.Array, axis: str) -> jax.Array:
                                   tiled=True)
         return recv.reshape((D * B,) + tail)
     parts, off = [], 0
-    for k, bk in enumerate(plan.dist_widths, start=1):
+    for r, bk in enumerate(plan.dist_widths):
         if bk == 0:
             continue
-        perm = [(s, (s + k) % D) for s in range(D)]
+        dest = plan.round_perm(r)
+        perm = [(s, dest[s]) for s in range(D)]
         parts.append(jax.lax.ppermute(send[off:off + bk], axis, perm))
         off += bk
     if not parts:
@@ -239,10 +254,11 @@ def _halo_exchange_rev(plan: HaloPlan, buf: jax.Array,
                                  tiled=True)
         return rev.reshape((D * B,) + tail)
     parts, off = [], 0
-    for k, bk in enumerate(plan.dist_widths, start=1):
+    for r, bk in enumerate(plan.dist_widths):
         if bk == 0:
             continue
-        perm = [(d, (d - k) % D) for d in range(D)]
+        dest = plan.round_perm(r)
+        perm = [(dest[s], s) for s in range(D)]   # inverse permutation
         parts.append(jax.lax.ppermute(buf[off:off + bk], axis, perm))
         off += bk
     if not parts:
@@ -250,13 +266,47 @@ def _halo_exchange_rev(plan: HaloPlan, buf: jax.Array,
     return jnp.concatenate(parts, axis=0)
 
 
+def _matched_rounds(req, D):
+    """Decompose the D·(D−1) ordered peer pairs into D−1 permutation
+    rounds by repeated max-weight perfect matching (Hungarian), grouping
+    the widest pairs into the same rounds so Σ_r max-width shrinks.
+
+    The unused-pair graph stays regular bipartite after each extraction,
+    so a diagonal-free perfect matching always exists.
+    """
+    import scipy.optimize as so
+
+    w = np.array([[len(req[d][s]) for d in range(D)] for s in range(D)],
+                 np.int64)
+    BIG = int(w.sum()) + 1
+    used = np.zeros((D, D), bool)
+    np.fill_diagonal(used, True)
+    rounds = []
+    for _ in range(D - 1):
+        cost = np.where(used, BIG, -w)
+        rs, cs = so.linear_sum_assignment(cost)
+        perm = np.empty(D, np.int64)
+        perm[rs] = cs
+        rounds.append([int(perm[s]) for s in range(D)])
+        used[rs, perm[rs]] = True
+    return rounds
+
+
 def build_halo_plan(part: EdgePartition,
                     schedule: str = "dense") -> HaloPlan:
     """Host-side: per-peer boundary sets + edge remap for ``part``.
 
-    ``schedule``: ``'dense'`` (one all_to_all, global-max padding) or
-    ``'ring'`` (D−1 ppermute hops, per-distance padding — ships only
-    Σ_k B_k rows; see :class:`HaloPlan`).
+    ``schedule``:
+      * ``'dense'`` — one all_to_all, every ordered pair padded to the
+        global max boundary B;
+      * ``'ring'`` — D−1 ppermute rounds paired by DISTANCE (round k:
+        s → s+k mod D), each padded to that round's max width — ships
+        Σ_k B_k rows ≤ (D−1)·B;
+      * ``'sched'`` — D−1 ppermute rounds paired by max-weight MATCHING
+        (``_matched_rounds``): when boundary widths are skewed across
+        peer pairs, grouping wide pairs into the same rounds drops
+        Σ_r B_r toward the per-device lower bound max_s Σ_d |req|;
+        falls back to the ring pairing when not strictly better.
     """
     D, E, R = part.n_shards, part.e_shard, part.rows_per_shard
     col = np.asarray(part.col).reshape(D, E)
@@ -274,31 +324,39 @@ def build_halo_plan(part: EdgePartition,
             req[d][s] = u
             B = max(B, len(u))
 
-    if schedule == "ring" and D == 1:
+    if schedule in ("ring", "sched") and D == 1:
         schedule = "dense"   # no peers, no wire — schedules coincide
-    if schedule == "ring":
-        # per-distance widths: hop k serves s → (s+k) mod D for all s.
-        # Exact (no alignment padding): the wire/lane dim is the feature
-        # axis, so any chunk row count works, and Σ_k max_s |req| ≤
-        # (D−1)·B makes ring ≤ dense by construction.
-        widths = []
-        for k in range(1, D):
-            widths.append(max(len(req[(s + k) % D][s]) for s in range(D)))
+    if schedule in ("ring", "sched"):
+        # Exact per-round packing (no alignment padding): the wire/lane
+        # dim is the feature axis, so any chunk row count works, and
+        # Σ_r max-width ≤ (D−1)·B makes both ≤ dense by construction.
+        def round_widths(perms):
+            return [max(len(req[p[s]][s]) for s in range(D))
+                    for p in perms]
+
+        ring_perms = [[(s + k) % D for s in range(D)]
+                      for k in range(1, D)]
+        perms, dist_perms = ring_perms, ()
+        if schedule == "sched" and D > 2:
+            cand = _matched_rounds(req, D)
+            if sum(round_widths(cand)) < sum(round_widths(ring_perms)):
+                perms, dist_perms = cand, tuple(
+                    tuple(p) for p in cand)
+        widths = round_widths(perms)
         if not any(widths):
             widths[0] = 8   # degenerate block-diagonal graph
-        offsets = np.zeros(D, np.int64)   # offsets[k] for k>=1
+        offsets = np.zeros(len(perms), np.int64)
         acc = 0
-        for k in range(1, D):
-            offsets[k] = acc
-            acc += widths[k - 1]
+        for r in range(len(perms)):
+            offsets[r] = acc
+            acc += widths[r]
         W = acc
 
         send_idx = np.zeros((D, W), np.int32)
-        for s in range(D):
-            for k in range(1, D):
-                d = (s + k) % D
-                u = req[d][s]
-                o = offsets[k]
+        for r, p in enumerate(perms):
+            o = offsets[r]
+            for s in range(D):
+                u = req[p[s]][s]
                 send_idx[s, o: o + len(u)] = u - s * R
 
         col_remap = np.full((D, E), W, np.int32)
@@ -307,12 +365,14 @@ def build_halo_plan(part: EdgePartition,
             owner = col[d] // R
             m = live & (owner == d)
             col_remap[d, m] = W + (col[d][m] - d * R)
-            for k in range(1, D):
-                s = (d - k) % D
+            for r, p in enumerate(perms):
+                s = list(p).index(d)   # the source sending to d in round r
+                if s == d:
+                    continue
                 m = live & (owner == s)
                 if not m.any():
                     continue
-                col_remap[d, m] = offsets[k] + np.searchsorted(
+                col_remap[d, m] = offsets[r] + np.searchsorted(
                     req[d][s], col[d][m])
         dist_widths = tuple(int(w) for w in widths)
     elif schedule == "dense":
@@ -340,6 +400,7 @@ def build_halo_plan(part: EdgePartition,
                 col_remap[d, m] = s * B + np.searchsorted(
                     req[d][s], col[d][m])
         dist_widths = ()
+        dist_perms = ()
     else:
         raise ValueError(f"unknown halo schedule: {schedule!r}")
 
@@ -352,6 +413,7 @@ def build_halo_plan(part: EdgePartition,
         den=jnp.asarray(den),
         n_shards=D, boundary=B, rows_per_shard=R,
         dist_widths=dist_widths,
+        dist_perms=dist_perms,
     )
 
 
@@ -379,7 +441,8 @@ def halo_comm_stats(plan: HaloPlan, feat_dim: int,
         "n_shards": D,
         "boundary_rows": B,
         "wire_rows": wire_rows,
-        "schedule": "ring" if plan.dist_widths else "dense",
+        "schedule": ("sched" if plan.dist_perms
+                     else "ring" if plan.dist_widths else "dense"),
         "spmm_halo_bytes": wire_rows * feat_dim * dtype_bytes,
         "affinity_halo_bytes": wire_rows * (feat_dim + 1) * dtype_bytes
         + D * R * dtype_bytes,   # + the [N] result all-gather

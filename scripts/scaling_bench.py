@@ -187,9 +187,9 @@ def main():
     ap.add_argument("--spmm_dtype", type=str, default="float32",
                     choices=["float32", "bfloat16"])
     ap.add_argument("--schedule", type=str, default="dense",
-                    choices=["dense", "ring"],
+                    choices=["dense", "ring", "sched"],
                     help="halo wire schedule (ring: per-distance-padded "
-                         "ppermute hops)")
+                         "ppermute rounds; sched: matched rounds)")
     args = ap.parse_args()
 
     import jax
