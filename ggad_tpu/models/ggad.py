@@ -41,6 +41,26 @@ class GGADOutput(NamedTuple):
     emb_abnormal: jax.Array  # [S, n_h] perturbed seed embeddings
 
 
+def init_ggad_params(model: "GGAD", feat_dim: int, rngs: dict):
+    """Initialize the GGAD parameter tree on a TINY dummy graph.
+
+    Flax parameter values depend only on the RNGs and the input SHAPES
+    (here: ``feat_dim``), not on the graph — so this produces exactly
+    the params ``model.init(rngs, real_adj, real_x, ...)`` would, without
+    tracing a full-size forward (whose [E, n_h] SpMM gather OOMs at
+    DGraph scale just to build parameters).
+    """
+    import numpy as np
+
+    from ggad_tpu.graph import from_coo
+
+    g = from_coo(np.array([0, 1]), np.array([1, 0]), None, 2)
+    x = jnp.zeros((2, feat_dim), jnp.float32)
+    si = jnp.zeros((1,), jnp.int32)
+    ni = jnp.ones((1,), jnp.int32)
+    return model.init(rngs, g, x, si, ni, train=True)
+
+
 class GGAD(nn.Module):
     """Flagship model. ``n_h`` defaults to the reference's 300."""
 

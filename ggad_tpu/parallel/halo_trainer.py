@@ -356,22 +356,19 @@ def halo_training_run(mesh: Mesh, dataset, *, n_h: int = 64,
     """Build + run the halo-distributed GGAD training loop; returns the
     final losses pytree. Used by the multichip dry-run and the scaling
     harness."""
-    from ggad_tpu.graph import from_scipy
-    from ggad_tpu.models.ggad import GGAD
-    from ggad_tpu.ops.normalize import normalize_adj_reference
+    from ggad_tpu.models.ggad import GGAD, init_ggad_params
     from ggad_tpu.parallel.full_batch import replicate
 
     setup = prepare_halo(dataset, mesh, spmm_impl=spmm_impl,
                          spmm_dtype=spmm_dtype, schedule=schedule)
-    # identical param tree to the single-device flax model
-    adj, _ = normalize_adj_reference(from_scipy(dataset.adj))
+    # identical param tree (and values) to the single-device flax model:
+    # init depends only on rngs + feat_dim, so it runs on a dummy graph
     model = GGAD(n_h=n_h, noise_mean=noise_mean, noise_std=noise_std)
     rng = jax.random.PRNGKey(seed)
     rng, init_rng, noise_rng = jax.random.split(rng, 3)
-    params = model.init(
-        {"params": init_rng, "noise": noise_rng}, adj,
-        jnp.asarray(dataset.features, jnp.float32), setup.seed_idx,
-        setup.normal_idx, train=True)
+    params = init_ggad_params(
+        model, dataset.features.shape[1],
+        {"params": init_rng, "noise": noise_rng})
     params = replicate(params, mesh)
     tx = optax.adam(lr)
     opt_state = replicate(tx.init(params), mesh)

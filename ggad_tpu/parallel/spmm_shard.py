@@ -65,14 +65,28 @@ class EdgePartition:
     rows_per_shard: int = dataclasses.field(metadata=dict(static=True))
     e_shard: int = dataclasses.field(metadata=dict(static=True))
     n_nodes: int = dataclasses.field(metadata=dict(static=True))  # unpadded
+    # local aggregation processes edges in this many lax.scan chunks:
+    # bounds the materialized [e_shard/chunks, d] gather buffer (the
+    # edge-parallel SpMM would otherwise allocate O(e_shard·d) — 46 GB
+    # at 0.1×-DGraph scale). 1 = single-shot (maximum exchange overlap).
+    edge_chunks: int = dataclasses.field(
+        default=1, metadata=dict(static=True))
 
     @property
     def n_pad(self) -> int:
         return self.n_shards * self.rows_per_shard
 
 
-def partition_edges(g: Graph, n_shards: int) -> EdgePartition:
-    """Host-side: split edges into per-device row blocks (balanced pad)."""
+def partition_edges(g: Graph, n_shards: int, *,
+                    edge_chunks: int | None = None,
+                    chunk_budget_bytes: int = 2 << 30,
+                    feat_dim_hint: int = 300) -> EdgePartition:
+    """Host-side: split edges into per-device row blocks (balanced pad).
+
+    ``edge_chunks``: explicit chunk count for the local aggregation
+    (None = auto: smallest count keeping the per-chunk [chunk, d] gather
+    buffer under ``chunk_budget_bytes`` at ``feat_dim_hint`` features).
+    """
     row = np.asarray(g.row)[: g.n_edges]
     col = np.asarray(g.col)[: g.n_edges]
     val = np.asarray(g.val)[: g.n_edges]
@@ -85,7 +99,10 @@ def partition_edges(g: Graph, n_shards: int) -> EdgePartition:
         sel = owner == d
         blocks.append((row[sel] - d * rows_per, col[sel], val[sel]))
         e_shard = max(e_shard, int(sel.sum()))
-    e_shard = max(_round_up(e_shard, 8), 8)
+    if edge_chunks is None:
+        per_edge = feat_dim_hint * 4
+        edge_chunks = max(1, -(-e_shard * per_edge // chunk_budget_bytes))
+    e_shard = max(_round_up(e_shard, 8 * edge_chunks), 8 * edge_chunks)
 
     rl = np.zeros((n_shards, e_shard), np.int32)
     cc = np.zeros((n_shards, e_shard), np.int32)
@@ -103,6 +120,7 @@ def partition_edges(g: Graph, n_shards: int) -> EdgePartition:
         rows_per_shard=rows_per,
         e_shard=e_shard,
         n_nodes=g.n_nodes,
+        edge_chunks=edge_chunks,
     )
 
 
@@ -457,25 +475,50 @@ def spmm_halo(part: EdgePartition, plan: HaloPlan, h: jax.Array,
 
     The local-column contribution is computed as a SEPARATE term that
     does not depend on the received buffer, so XLA's latency-hiding
-    scheduler can overlap it with the exchange.
+    scheduler can overlap it with the exchange. When
+    ``part.edge_chunks > 1`` the aggregation runs as a lax.scan over
+    edge chunks instead — the materialized [chunk, d] gather buffer is
+    bounded (huge-E shards would otherwise OOM: the single-shot gather
+    is O(e_shard·d) HBM), at the cost of exchange overlap.
     """
     R, W = plan.rows_per_shard, plan.buf_width
+    C = part.edge_chunks
 
     def local(send_idx, col_remap, row_local, val, h_local):
         send = h_local[send_idx.reshape(-1)]            # [W, f]
         buf = _halo_exchange(plan, send, axis)          # [W, f]
-        # local term: edges whose buffer position is in the local block
-        # (col_remap >= W); masked val keeps shapes static
         is_local = col_remap >= W
         local_cols = jnp.where(is_local, col_remap - W, 0)
         lv = jnp.where(is_local, val, 0.0)
-        out = jax.ops.segment_sum(h_local[local_cols] * lv[:, None],
-                                  row_local, num_segments=R)
-        # remote term: gathers from the received boundary rows
         remote_cols = jnp.where(is_local, 0, col_remap)
         rv = jnp.where(is_local, 0.0, val)
-        out = out + jax.ops.segment_sum(buf[remote_cols] * rv[:, None],
-                                        row_local, num_segments=R)
+        if C == 1:
+            # local term first: no dependence on the received buffer →
+            # overlaps the exchange
+            out = jax.ops.segment_sum(h_local[local_cols] * lv[:, None],
+                                      row_local, num_segments=R)
+            out = out + jax.ops.segment_sum(
+                buf[remote_cols] * rv[:, None], row_local, num_segments=R)
+            return out
+
+        # remat: without it the scan's backward stacks each chunk's
+        # gathered [chunk, d] residuals — re-materializing the full
+        # O(e_shard·d) buffer the chunking exists to avoid
+        @jax.checkpoint
+        def body(out, sl):
+            rl, lc, lvc, rc, rvc = sl
+            out = out + jax.ops.segment_sum(
+                h_local[lc] * lvc[:, None], rl, num_segments=R)
+            out = out + jax.ops.segment_sum(
+                buf[rc] * rvc[:, None], rl, num_segments=R)
+            return out, None
+
+        chunks = jax.tree.map(
+            lambda a: a.reshape(C, -1),
+            (row_local, local_cols, lv, remote_cols, rv))
+        # init must carry the same varying-manual-axes type as the body
+        # output (h_local is device-varying inside shard_map)
+        out, _ = jax.lax.scan(body, h_local * 0.0, chunks)
         return out
 
     return jax.shard_map(

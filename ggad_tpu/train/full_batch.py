@@ -279,10 +279,18 @@ class FullBatchTrainer:
     # ------------------------------------------------------------------
     def init(self, rng: jax.Array):
         p_rng, n_rng = jax.random.split(rng)
-        params = self.model.init(
-            {"params": p_rng, "noise": n_rng},
-            self.adj, self.features, self.seed_idx, self.normal_idx,
-            train=True)
+        if self._halo is not None:
+            # init values depend only on rngs + feat_dim (identical to
+            # the full init) — skip the full-size forward trace
+            from ggad_tpu.models.ggad import init_ggad_params
+            params = init_ggad_params(
+                self.model, self.dataset.features.shape[1],
+                {"params": p_rng, "noise": n_rng})
+        else:
+            params = self.model.init(
+                {"params": p_rng, "noise": n_rng},
+                self.adj, self.features, self.seed_idx, self.normal_idx,
+                train=True)
         opt_state = self.tx.init(params)
         if self.mesh is not None:
             from ggad_tpu.parallel.full_batch import replicate

@@ -107,9 +107,7 @@ def time_step(ds, d, n_h, iters=10, spmm_impl="xla",
     import jax.numpy as jnp
     import optax
 
-    from ggad_tpu.graph import from_scipy
-    from ggad_tpu.models.ggad import GGAD
-    from ggad_tpu.ops.normalize import normalize_adj_reference
+    from ggad_tpu.models.ggad import GGAD, init_ggad_params
     from ggad_tpu.parallel.full_batch import replicate
     from ggad_tpu.parallel.halo_trainer import (
         make_halo_train_step,
@@ -120,13 +118,11 @@ def time_step(ds, d, n_h, iters=10, spmm_impl="xla",
     mesh = make_mesh(d, axis_names=("nodes",))
     setup = prepare_halo(ds, mesh, spmm_impl=spmm_impl,
                          spmm_dtype=spmm_dtype, schedule=schedule)
-    adj, _ = normalize_adj_reference(from_scipy(ds.adj))
     model = GGAD(n_h=n_h, noise_mean=0.02, noise_std=0.01)
     rng = jax.random.PRNGKey(0)
-    params = replicate(model.init(
-        {"params": rng, "noise": rng}, adj,
-        jnp.asarray(ds.features, jnp.float32), setup.seed_idx,
-        setup.normal_idx, train=True), mesh)
+    params = replicate(init_ggad_params(
+        model, ds.features.shape[1], {"params": rng, "noise": rng}),
+        mesh)
     tx = optax.adam(1e-3)
     opt_state = replicate(tx.init(params), mesh)
     steps = {k: make_halo_train_step(tx, mesh, noise_mean=0.02,

@@ -759,3 +759,31 @@ def test_sched_training_matches_dense(mesh):
     _, l_s = halo_training_run(make_mesh(8), ds, n_h=32, n_steps=2,
                                schedule="sched")
     assert float(l_s.total) == pytest.approx(float(l_d.total), rel=1e-4)
+
+
+def test_spmm_halo_edge_chunked(mesh, rng):
+    """edge_chunks>1 (bounded-memory scan aggregation) is exact and has
+    the same gradient as the single-shot path."""
+    mat = random_graph(100)
+    g = from_scipy(mat)
+    part = place_partition(
+        partition_edges(g, 8, edge_chunks=4), mesh)
+    assert part.edge_chunks == 4
+    plan = place_halo_plan(build_halo_plan(part), mesh)
+    x = rng.normal(size=(100, 24)).astype(np.float32)
+    xp = pad_nodes(jnp.asarray(x), part)
+
+    out = np.asarray(spmm_halo(part, plan, xp, mesh))[:100]
+    expect = np.asarray(spmm(g, jnp.asarray(x)))
+    np.testing.assert_allclose(out, expect, rtol=1e-4, atol=1e-5)
+
+    def f_halo(h):
+        return jnp.sum(spmm_halo(part, plan, pad_nodes(h, part),
+                                 mesh) ** 2)
+
+    def f_single(h):
+        return jnp.sum(spmm(g, h) ** 2)
+
+    g_h = np.asarray(jax.grad(f_halo)(jnp.asarray(x)))
+    g_s = np.asarray(jax.grad(f_single)(jnp.asarray(x)))
+    np.testing.assert_allclose(g_h, g_s, rtol=1e-4, atol=1e-4)
