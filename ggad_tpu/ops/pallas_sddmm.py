@@ -83,28 +83,29 @@ def _sddmm_colsum_raw(tiles, emb_rows: jax.Array,
         emb_cols = emb_cols.astype(jnp.bfloat16)
     n_t = tiles.n_tiles
     d_pad = emb_rows.shape[1]
-    n_blocks = tiles.n_rows // TILE
+    tr, tc = tiles.values.shape[-2:]
+    n_blocks = tiles.n_rows // tr
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(n_t,),
         in_specs=[
-            pl.BlockSpec((1, TILE, TILE), lambda t, rows, cols: (t, 0, 0)),
-            pl.BlockSpec((TILE, d_pad), lambda t, rows, cols: (rows[t], 0)),
-            pl.BlockSpec((TILE, d_pad), lambda t, rows, cols: (cols[t], 0)),
+            pl.BlockSpec((1, tr, tc), lambda t, rows, cols: (t, 0, 0)),
+            pl.BlockSpec((tr, d_pad), lambda t, rows, cols: (rows[t], 0)),
+            pl.BlockSpec((tc, d_pad), lambda t, rows, cols: (cols[t], 0)),
         ],
-        out_specs=pl.BlockSpec((1, 8, TILE), lambda t, rows, cols:
+        out_specs=pl.BlockSpec((1, 8, tr), lambda t, rows, cols:
                                (rows[t], 0, 0)),
     )
     out = pl.pallas_call(
         _sddmm_colsum_kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n_blocks, 8, TILE), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n_blocks, 8, tr), jnp.float32),
         cost_estimate=pl.CostEstimate(
-            flops=2 * n_t * TILE * TILE * d_pad,
+            flops=2 * n_t * tr * tc * d_pad,
             bytes_accessed=n_t * (
-                TILE * TILE * tiles.values.dtype.itemsize
-                + 2 * TILE * d_pad * emb_rows.dtype.itemsize),
+                tr * tc * tiles.values.dtype.itemsize
+                + (tr + tc) * d_pad * emb_rows.dtype.itemsize),
             transcendentals=0),
         interpret=jax.default_backend() != "tpu",
     )(tiles.tile_rows, tiles.tile_cols, tiles.values, emb_rows, emb_cols)

@@ -57,30 +57,39 @@ class BCSR:
 
 
 def bcsr_from_coo(row: np.ndarray, col: np.ndarray, val: np.ndarray,
-                  n_nodes: int, dtype=np.float32) -> BCSR:
-    """Host-side BCSR construction (native C++ when available)."""
-    n_pad = _round_up(max(n_nodes, TILE), TILE)
+                  n_nodes: int, dtype=np.float32,
+                  tile_rows: int = TILE) -> BCSR:
+    """Host-side BCSR construction (native C++ when available).
+
+    ``tile_rows``: tile HEIGHT (a multiple of 128). The forward kernel
+    reads one [TILE, d] H slab per occupied tile, so on tile-dense
+    graphs total H traffic is ∝ 1/tile_rows — measured 2.5× faster SpMM
+    at 512 vs 128 on the photo-shaped graph (scripts/tile_rows_study.py)
+    with the same tile-store bytes. Lane (column) width stays 128.
+    """
+    n_row_pad = _round_up(max(n_nodes, tile_rows), tile_rows)
+    n_col_pad = _round_up(max(n_nodes, TILE), TILE)
     from ggad_tpu import native
-    if native.available() and dtype == np.float32:
-        tile_rows, tile_cols, values = native.bcsr_build(
-            row, col, val, n_pad // TILE)
+    if native.available() and dtype == np.float32 and tile_rows == TILE:
+        t_rows, t_cols, values = native.bcsr_build(
+            row, col, val, n_col_pad // TILE)
     else:
-        trow = row // TILE
+        trow = row // tile_rows
         tcol = col // TILE
-        tkey = trow.astype(np.int64) * (n_pad // TILE) + tcol
+        tkey = trow.astype(np.int64) * (n_col_pad // TILE) + tcol
         uniq, inv = np.unique(tkey, return_inverse=True)
         n_tiles = len(uniq)
-        values = np.zeros((n_tiles, TILE, TILE), dtype)
-        np.add.at(values, (inv, row % TILE, col % TILE), val)
-        tile_rows = (uniq // (n_pad // TILE)).astype(np.int32)
-        tile_cols = (uniq % (n_pad // TILE)).astype(np.int32)
+        values = np.zeros((n_tiles, tile_rows, TILE), dtype)
+        np.add.at(values, (inv, row % tile_rows, col % TILE), val)
+        t_rows = (uniq // (n_col_pad // TILE)).astype(np.int32)
+        t_cols = (uniq % (n_col_pad // TILE)).astype(np.int32)
     # np.unique returns sorted keys → already (tile_row, tile_col) sorted.
     return BCSR(
-        tile_rows=jnp.asarray(tile_rows),
-        tile_cols=jnp.asarray(tile_cols),
+        tile_rows=jnp.asarray(t_rows),
+        tile_cols=jnp.asarray(t_cols),
         values=jnp.asarray(values),
-        n_rows=n_pad,
-        n_cols=n_pad,
+        n_rows=n_row_pad,
+        n_cols=n_col_pad,
     )
 
 
@@ -109,7 +118,11 @@ def _bcsr_matmul_kernel(tile_rows_ref, tile_cols_ref, vals_ref, h_ref,
 
 
 def _bcsr_matmul_raw(m: BCSR, h: jax.Array, d_tile: int = 512) -> jax.Array:
-    """out = M @ h, h: [n_cols_pad, D_pad]; D_pad % d_tile == 0."""
+    """out = M @ h, h: [n_cols_pad, D_pad]; D_pad % d_tile == 0.
+
+    Tile shape is read from the value store ([T, tr, tc]) — tall tiles
+    (tr > 128) amortize each H slab over more output rows.
+    """
     from jax.experimental.pallas import tpu as pltpu
 
     d_pad = h.shape[1]
@@ -117,6 +130,7 @@ def _bcsr_matmul_raw(m: BCSR, h: jax.Array, d_tile: int = 512) -> jax.Array:
     assert d_pad % d_tile == 0
     n_d = d_pad // d_tile
     n_t = m.n_tiles
+    tr, tc = m.values.shape[-2:]
 
     if m.values.dtype == jnp.bfloat16:
         # operands are rounded to bf16 on the MXU either way — casting
@@ -129,23 +143,23 @@ def _bcsr_matmul_raw(m: BCSR, h: jax.Array, d_tile: int = 512) -> jax.Array:
         num_scalar_prefetch=2,
         grid=(n_d, n_t),
         in_specs=[
-            pl.BlockSpec((1, TILE, TILE),
+            pl.BlockSpec((1, tr, tc),
                          lambda d, t, rows, cols: (t, 0, 0)),
-            pl.BlockSpec((TILE, d_tile),
+            pl.BlockSpec((tc, d_tile),
                          lambda d, t, rows, cols: (cols[t], d)),
         ],
-        out_specs=pl.BlockSpec((TILE, d_tile),
+        out_specs=pl.BlockSpec((tr, d_tile),
                                lambda d, t, rows, cols: (rows[t], d)),
     )
-    flops = 2 * n_t * TILE * TILE * d_pad
+    flops = 2 * n_t * tr * tc * d_pad
     out = pl.pallas_call(
         _bcsr_matmul_kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((m.n_rows, d_pad), jnp.float32),
         cost_estimate=pl.CostEstimate(
             flops=flops,
-            bytes_accessed=n_t * TILE * TILE * m.values.dtype.itemsize
-            + h.size * h.dtype.itemsize,
+            bytes_accessed=n_t * tr * tc * m.values.dtype.itemsize
+            + n_t * tc * d_pad * h.dtype.itemsize,
             transcendentals=0),
         interpret=jax.default_backend() != "tpu",  # CPU tests
     )(m.tile_rows, m.tile_cols, m.values, h)
@@ -162,18 +176,22 @@ class BCSRPair:
     n_nodes: int = dataclasses.field(metadata=dict(static=True))
 
 
-def bcsr_pair_from_graph(g, dtype=np.float32) -> BCSRPair:
+def bcsr_pair_from_graph(g, dtype=np.float32,
+                         tile_rows: int = TILE) -> BCSRPair:
     """Build forward/backward BCSR from a :class:`ggad_tpu.graph.Graph`.
 
     ``dtype=jnp.bfloat16`` stores tiles in bf16 and switches the kernels
     to 1-pass bf16 MXU multiplies (≈6× MXU throughput; breaks 1e-4
-    activation parity by construction — opt-in).
+    activation parity by construction — opt-in). ``tile_rows``: tile
+    height for BOTH orientations (see :func:`bcsr_from_coo`).
     """
     row = np.asarray(g.row)[: g.n_edges]
     col = np.asarray(g.col)[: g.n_edges]
     val = np.asarray(g.val)[: g.n_edges]
-    fwd = bcsr_from_coo(row, col, val, g.n_nodes, np.float32)
-    bwd = bcsr_from_coo(col, row, val, g.n_nodes, np.float32)
+    fwd = bcsr_from_coo(row, col, val, g.n_nodes, np.float32,
+                        tile_rows=tile_rows)
+    bwd = bcsr_from_coo(col, row, val, g.n_nodes, np.float32,
+                        tile_rows=tile_rows)
     if dtype in (jnp.bfloat16, "bfloat16"):
         fwd = dataclasses.replace(fwd, values=fwd.values.astype(jnp.bfloat16))
         bwd = dataclasses.replace(bwd, values=bwd.values.astype(jnp.bfloat16))
@@ -265,7 +283,7 @@ bcsr_spmm_rect.defvjp(_bcsr_rect_vjp_fwd, _bcsr_rect_vjp_bwd)
 
 def bcsr_rect_from_coo(row: np.ndarray, col: np.ndarray, val: np.ndarray,
                        n_rows: int, n_cols: int, n_tiles_pad: int = 0,
-                       dtype=np.float32) -> BCSR:
+                       dtype=np.float32, tile_rows: int = TILE) -> BCSR:
     """Host-side rectangular tile-COO build.
 
     Every output row block gets at least one (zero) tile — Pallas out
@@ -273,31 +291,33 @@ def bcsr_rect_from_coo(row: np.ndarray, col: np.ndarray, val: np.ndarray,
     (the square graph path is immune only because +I self-loops occupy
     every diagonal tile). ``n_tiles_pad`` pads the tile count with zero
     tiles REPEATING THE LAST key so the kernel's row-change zeroing
-    never re-fires.
+    never re-fires. ``tile_rows``: tile height (see
+    :func:`bcsr_from_coo` — tall tiles cut H traffic on dense shards).
     """
-    rp, cp = _round_up(max(n_rows, TILE), TILE), _round_up(
+    tr = tile_rows
+    rp, cp = _round_up(max(n_rows, tr), tr), _round_up(
         max(n_cols, TILE), TILE)
-    nrt, nct = rp // TILE, cp // TILE
+    nrt, nct = rp // tr, cp // TILE
     live = val != 0
     row, col, val = row[live], col[live], val[live]
-    tkey = (row // TILE).astype(np.int64) * nct + col // TILE
+    tkey = (row // tr).astype(np.int64) * nct + col // TILE
     # cover every row block: a zero tile at (block, col 0) where absent
     missing = np.setdiff1d(np.arange(nrt, dtype=np.int64),
-                           np.unique(row // TILE))
+                           np.unique(row // tr))
     tkey = np.concatenate([tkey, missing * nct])
     uniq, inv = np.unique(tkey, return_inverse=True)
     inv = inv[: len(row)]           # the cover keys carry no values
     n_pad = max(n_tiles_pad, len(uniq))
-    values = np.zeros((n_pad, TILE, TILE), dtype)
-    np.add.at(values, (inv, row % TILE, col % TILE), val.astype(dtype))
-    tile_rows = np.zeros(n_pad, np.int32)
-    tile_cols = np.zeros(n_pad, np.int32)
-    tile_rows[: len(uniq)] = uniq // nct
-    tile_cols[: len(uniq)] = uniq % nct
-    tile_rows[len(uniq):] = tile_rows[len(uniq) - 1]
-    tile_cols[len(uniq):] = tile_cols[len(uniq) - 1]
-    return BCSR(tile_rows=jnp.asarray(tile_rows),
-                tile_cols=jnp.asarray(tile_cols),
+    values = np.zeros((n_pad, tr, TILE), dtype)
+    np.add.at(values, (inv, row % tr, col % TILE), val.astype(dtype))
+    t_rows = np.zeros(n_pad, np.int32)
+    t_cols = np.zeros(n_pad, np.int32)
+    t_rows[: len(uniq)] = uniq // nct
+    t_cols[: len(uniq)] = uniq % nct
+    t_rows[len(uniq):] = t_rows[len(uniq) - 1]
+    t_cols[len(uniq):] = t_cols[len(uniq) - 1]
+    return BCSR(tile_rows=jnp.asarray(t_rows),
+                tile_cols=jnp.asarray(t_cols),
                 values=jnp.asarray(values), n_rows=rp, n_cols=cp)
 
 
@@ -345,8 +365,37 @@ class BCSRGraph:
         return self.graph.in_degrees()
 
 
-def as_bcsr_graph(g, dtype=np.float32) -> BCSRGraph:
-    return BCSRGraph(graph=g, tiles=bcsr_pair_from_graph(g, dtype))
+def pick_tile_rows(row: np.ndarray, col: np.ndarray, n_nodes: int,
+                   *, max_growth: float = 1.35,
+                   candidates=(512, 256)) -> int:
+    """Choose the tallest tile height whose tile-store bytes stay within
+    ``max_growth`` of the 128-tall store (tall tiles cut H traffic
+    ∝ 1/tile_rows but waste storage on row-sparse graphs)."""
+    nct = _round_up(max(n_nodes, TILE), TILE) // TILE
+
+    def occupied(tr):
+        return len(np.unique((row // tr).astype(np.int64) * nct
+                             + col // TILE))
+
+    base = occupied(TILE) * TILE
+    for tr in candidates:
+        if occupied(tr) * tr <= max_growth * base:
+            return tr
+    return TILE
+
+
+def as_bcsr_graph(g, dtype=np.float32,
+                  tile_rows: int | None = None) -> BCSRGraph:
+    """``tile_rows=None`` auto-picks the tallest profitable tile height
+    (measured 2.5×/1.3× faster bf16/f32 SpMM at 512 on photo-shaped
+    graphs — scripts/tile_rows_study.py)."""
+    if tile_rows is None:
+        row = np.asarray(g.row)[: g.n_edges]
+        col = np.asarray(g.col)[: g.n_edges]
+        tile_rows = pick_tile_rows(row, col, g.n_nodes)
+    return BCSRGraph(graph=g,
+                     tiles=bcsr_pair_from_graph(g, dtype,
+                                                tile_rows=tile_rows))
 
 
 def bcsr_spmm_graph(g, x: jax.Array) -> jax.Array:

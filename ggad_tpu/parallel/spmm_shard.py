@@ -557,21 +557,44 @@ class HaloBCSR:
     bwd_rows: jax.Array   # [D, Tb]   (remote transpose: [D·B × R])
     bwd_cols: jax.Array   # [D, Tb]
     bwd_vals: jax.Array   # [D, Tb, TILE, TILE]
-    r_pad: int = dataclasses.field(metadata=dict(static=True))
-    b_pad: int = dataclasses.field(metadata=dict(static=True))  # D·B pad
+    # row pads are tile_rows multiples (tall tiles), col pads 128-wide:
+    r_row_pad: int = dataclasses.field(metadata=dict(static=True))
+    r_col_pad: int = dataclasses.field(metadata=dict(static=True))
+    w_row_pad: int = dataclasses.field(metadata=dict(static=True))
+    w_col_pad: int = dataclasses.field(metadata=dict(static=True))
 
 
 def build_halo_bcsr(part: EdgePartition, plan: HaloPlan,
-                    dtype=np.float32) -> HaloBCSR:
+                    dtype=np.float32,
+                    tile_rows: int | None = None) -> HaloBCSR:
     """Host-side: per-shard rectangular BCSR of the remapped edge blocks
-    (``dtype=bfloat16`` for the 1-pass MXU fast mode)."""
-    from ggad_tpu.ops.pallas_spmm import TILE, bcsr_rect_from_coo
+    (``dtype=bfloat16`` for the 1-pass MXU fast mode).
+
+    ``tile_rows``: tile height for all four sets (None = auto via
+    :func:`ggad_tpu.ops.pallas_spmm.pick_tile_rows` on the remapped
+    coordinates — tall tiles cut the per-tile H slab traffic ∝ 1/height
+    on tile-dense shards; see docs/PERF.md round 3).
+    """
+    from ggad_tpu.ops.pallas_spmm import (
+        TILE,
+        bcsr_rect_from_coo,
+        pick_tile_rows,
+    )
 
     D, E, R, W = (part.n_shards, part.e_shard, part.rows_per_shard,
                   plan.buf_width)
     rl = np.asarray(part.row_local).reshape(D, E)
     cr = np.asarray(plan.col_remap).reshape(D, E)
     vv = np.asarray(part.val).reshape(D, E)
+
+    if tile_rows is None:
+        # occupancy heuristic over the per-shard remapped blocks: offset
+        # shard d's rows by d·R_pad so tiles never merge across shards
+        live = vv.reshape(-1) != 0
+        r_off = _round_up(R, 512)
+        rows_all = (rl + (np.arange(D) * r_off)[:, None]).reshape(-1)[live]
+        cols_all = cr.reshape(-1)[live]
+        tile_rows = pick_tile_rows(rows_all, cols_all, D * r_off)
 
     np_dtype = np.float32 if dtype in (np.float32, "float32") \
         else jnp.bfloat16
@@ -583,19 +606,23 @@ def build_halo_bcsr(part: EdgePartition, plan: HaloPlan,
         lv = np.where(is_local, vv[d], 0.0).astype(np.float32)
         rv = np.where(is_local, 0.0, vv[d]).astype(np.float32)
         loc.append(bcsr_rect_from_coo(rl[d], lc, lv, R, R,
-                                      dtype=np_dtype))
+                                      dtype=np_dtype,
+                                      tile_rows=tile_rows))
         locT.append(bcsr_rect_from_coo(lc, rl[d], lv, R, R,
-                                       dtype=np_dtype))
+                                       dtype=np_dtype,
+                                       tile_rows=tile_rows))
         fwd.append(bcsr_rect_from_coo(rl[d], cr[d], rv, R, W,
-                                      dtype=np_dtype))
+                                      dtype=np_dtype,
+                                      tile_rows=tile_rows))
         bwd.append(bcsr_rect_from_coo(cr[d], rl[d], rv, W, R,
-                                      dtype=np_dtype))
+                                      dtype=np_dtype,
+                                      tile_rows=tile_rows))
 
     def stack(blocks):
         t_max = max(b.tile_rows.shape[0] for b in blocks)
         rows = np.zeros((D, t_max), np.int32)
         cols = np.zeros((D, t_max), np.int32)
-        vals = np.zeros((D, t_max, TILE, TILE), np_dtype)
+        vals = np.zeros((D, t_max, tile_rows, TILE), np_dtype)
         for d, b in enumerate(blocks):
             t = b.tile_rows.shape[0]
             rows[d, :t] = np.asarray(b.tile_rows)
@@ -605,7 +632,7 @@ def build_halo_bcsr(part: EdgePartition, plan: HaloPlan,
             cols[d, t:] = cols[d, t - 1]
         return (jnp.asarray(rows.reshape(-1)),
                 jnp.asarray(cols.reshape(-1)),
-                jnp.asarray(vals.reshape(D * t_max, TILE, TILE)))
+                jnp.asarray(vals.reshape(D * t_max, tile_rows, TILE)))
 
     lr_, lc_, lv_ = stack(loc)
     ltr, ltc, ltv = stack(locT)
@@ -615,7 +642,8 @@ def build_halo_bcsr(part: EdgePartition, plan: HaloPlan,
                     locT_rows=ltr, locT_cols=ltc, locT_vals=ltv,
                     fwd_rows=fr, fwd_cols=fc, fwd_vals=fv,
                     bwd_rows=br, bwd_cols=bc, bwd_vals=bv,
-                    r_pad=loc[0].n_rows, b_pad=fwd[0].n_cols)
+                    r_row_pad=loc[0].n_rows, r_col_pad=loc[0].n_cols,
+                    w_row_pad=bwd[0].n_rows, w_col_pad=fwd[0].n_cols)
 
 
 def place_halo_bcsr(tiles: HaloBCSR, mesh: Mesh,
@@ -658,11 +686,13 @@ def spmm_halo_bcsr(part: EdgePartition, plan: HaloPlan, tiles: HaloBCSR,
               bv, h_local):
         send = h_local[send_idx.reshape(-1)]
         buf = _halo_exchange(plan, send, axis)
-        pair_loc = _as_pair(lr, lc, lv, tiles.r_pad, tiles.r_pad,
-                            tiles.r_pad, tiles.r_pad, ltr, ltc, ltv, R)
+        pair_loc = _as_pair(lr, lc, lv, tiles.r_row_pad, tiles.r_col_pad,
+                            tiles.r_row_pad, tiles.r_col_pad, ltr, ltc,
+                            ltv, R)
         out = bcsr_spmm_rect(pair_loc, h_local, R)   # overlaps the wire
-        pair_rem = _as_pair(fr, fc, fv, tiles.r_pad, tiles.b_pad,
-                            tiles.b_pad, tiles.r_pad, br, bc, bv, R)
+        pair_rem = _as_pair(fr, fc, fv, tiles.r_row_pad, tiles.w_col_pad,
+                            tiles.w_row_pad, tiles.r_col_pad, br, bc,
+                            bv, R)
         return out + bcsr_spmm_rect(pair_rem, buf, R)
 
     return jax.shard_map(
@@ -740,12 +770,14 @@ def affinity_halo_bcsr(part: EdgePartition, plan: HaloPlan,
         recv = _halo_exchange(plan, send, axis)
 
         # local-column SDDMM (independent of the exchange — overlaps it)
-        pair_loc = _as_pair(lr, lc, lv, tiles.r_pad, tiles.r_pad,
-                            tiles.r_pad, tiles.r_pad, ltr, ltc, ltv, R)
+        pair_loc = _as_pair(lr, lc, lv, tiles.r_row_pad, tiles.r_col_pad,
+                            tiles.r_row_pad, tiles.r_col_pad, ltr, ltc,
+                            ltv, R)
         num = bcsr_sddmm_colsum_rect(pair_loc, emb_n, emb_n)
         # remote-column SDDMM over the received boundary rows → [W]
-        pair_rem = _as_pair(fr, fc, fv, tiles.r_pad, tiles.b_pad,
-                            tiles.b_pad, tiles.r_pad, br, bc, bv, R)
+        pair_rem = _as_pair(fr, fc, fv, tiles.r_row_pad, tiles.w_col_pad,
+                            tiles.w_row_pad, tiles.r_col_pad, br, bc,
+                            bv, R)
         partial = bcsr_sddmm_colsum_rect(pair_rem, recv, emb_n)
 
         rev = _halo_exchange_rev(plan, partial[:W], axis)

@@ -29,14 +29,69 @@ def test_bcsr_structure(rng):
     rows = np.asarray(b.tiles.fwd.tile_rows)
     assert np.all(np.diff(rows) >= 0)  # sorted by tile-row
     assert b.tiles.fwd.n_rows % 128 == 0
-    # values reassemble to the original matrix
+    # values reassemble to the original matrix (tile shape from store)
+    tr, tc = b.tiles.fwd.values.shape[-2:]
     dense = np.zeros((b.tiles.fwd.n_rows, b.tiles.fwd.n_cols), np.float32)
     vals = np.asarray(b.tiles.fwd.values)
     cols = np.asarray(b.tiles.fwd.tile_cols)
     for t in range(b.tiles.fwd.n_tiles):
-        r, c = rows[t] * 128, cols[t] * 128
-        dense[r:r + 128, c:c + 128] = vals[t]
+        r, c = rows[t] * tr, cols[t] * tc
+        dense[r:r + tr, c:c + tc] = vals[t]
     np.testing.assert_allclose(dense[:300, :300], mat.toarray(), rtol=1e-6)
+
+
+def test_bcsr_tall_tiles_match(rng):
+    """Tall tile stores (tile_rows > 128) give identical SpMM values and
+    gradients; the square SDDMM colsum works on them too."""
+    import pytest
+
+    from ggad_tpu.graph import add_self_loops
+    from ggad_tpu.ops.pallas_sddmm import bcsr_sddmm_colsum
+    from ggad_tpu.ops.sddmm import l2_normalize_rows, node_affinity
+
+    mat = random_graph(300, density=0.08, seed=4)
+    mat = ((mat + mat.T) > 0).astype(np.float32)
+    raw = add_self_loops(from_scipy(sp.csr_matrix(mat)))
+    x = jnp.asarray(rng.normal(size=(300, 48)).astype(np.float32))
+    expect = np.asarray(spmm(raw, x, impl="xla"))
+    for tr in (256, 512):
+        b = as_bcsr_graph(raw, tile_rows=tr)
+        assert b.tiles.fwd.values.shape[-2] == tr
+        out = np.asarray(bcsr_spmm(b.tiles, x))
+        np.testing.assert_allclose(out, expect, rtol=1e-4, atol=1e-4)
+
+        def f_tiles(h, b=b):
+            return jnp.sum(bcsr_spmm(b.tiles, h) ** 2)
+
+        def f_xla(h):
+            return jnp.sum(spmm(raw, h, impl="xla") ** 2)
+
+        g_t = np.asarray(jax.grad(f_tiles)(x))
+        g_x = np.asarray(jax.grad(f_xla)(x))
+        np.testing.assert_allclose(g_t, g_x, rtol=1e-4, atol=1e-4)
+
+        num = np.asarray(bcsr_sddmm_colsum(b.tiles, l2_normalize_rows(x)))
+        den = np.asarray(raw.in_degrees())
+        aff = num * np.where(den != 0, 1.0 / den, 0.0)
+        aff_ref = np.asarray(node_affinity(raw, x))
+        np.testing.assert_allclose(aff, aff_ref, rtol=1e-4, atol=1e-5)
+
+
+def test_pick_tile_rows_density_aware():
+    """Tall tiles only when the store stays compact: dense-ish block
+    graphs pick 512, row-scattered ultra-sparse graphs stay at 128."""
+    from ggad_tpu.ops.pallas_spmm import pick_tile_rows
+
+    rng = np.random.default_rng(0)
+    n = 2048
+    # dense community block: every 128-tile in a column stripe occupied
+    row = rng.integers(0, n, 40000)
+    col = rng.integers(0, n, 40000)
+    assert pick_tile_rows(row, col, n) == 512
+    # one edge per tile-row, distinct columns → tall tiles pure waste
+    row2 = np.arange(0, n, 128)
+    col2 = (np.arange(len(row2)) * 128) % n
+    assert pick_tile_rows(row2, col2, n) == 128
 
 
 def test_bcsr_spmm_matches_dense(rng):

@@ -787,3 +787,47 @@ def test_spmm_halo_edge_chunked(mesh, rng):
     g_h = np.asarray(jax.grad(f_halo)(jnp.asarray(x)))
     g_s = np.asarray(jax.grad(f_single)(jnp.asarray(x)))
     np.testing.assert_allclose(g_h, g_s, rtol=1e-4, atol=1e-4)
+
+
+def test_spmm_halo_bcsr_tall_tiles(mesh, rng):
+    """Tall rect tile sets (tile_rows=256) on the halo path: SpMM and
+    affinity exactness + SpMM gradient."""
+    from ggad_tpu.graph import add_self_loops
+    from ggad_tpu.parallel.spmm_shard import (
+        affinity_halo_bcsr,
+        build_halo_bcsr,
+        place_halo_bcsr,
+        spmm_halo_bcsr,
+    )
+
+    g = add_self_loops(from_scipy(community_graph(512)))
+    part = partition_edges(g, 8)
+    plan = build_halo_plan(part)
+    tiles = place_halo_bcsr(
+        build_halo_bcsr(part, plan, tile_rows=256), mesh)
+    assert tiles.loc_vals.shape[-2] == 256
+    part = place_partition(part, mesh)
+    plan = place_halo_plan(plan, mesh)
+    x = rng.normal(size=(512, 24)).astype(np.float32)
+    xp = pad_nodes(jnp.asarray(x), part)
+
+    out = np.asarray(spmm_halo_bcsr(part, plan, tiles, xp, mesh))[:512]
+    expect = np.asarray(spmm(g, jnp.asarray(x)))
+    np.testing.assert_allclose(out, expect, rtol=1e-4, atol=1e-4)
+
+    aff = np.asarray(affinity_halo_bcsr(part, plan, tiles, xp,
+                                        mesh))[:512]
+    aff_ref = np.asarray(node_affinity(g, jnp.asarray(x)))
+    np.testing.assert_allclose(aff, aff_ref, rtol=1e-4, atol=1e-5)
+
+    def f_tiles(h):
+        return jnp.sum(
+            spmm_halo_bcsr(part, plan, tiles, pad_nodes(h, part),
+                           mesh) ** 2)
+
+    def f_single(h):
+        return jnp.sum(spmm(g, h) ** 2)
+
+    g_t = np.asarray(jax.grad(f_tiles)(jnp.asarray(x)))
+    g_s = np.asarray(jax.grad(f_single)(jnp.asarray(x)))
+    np.testing.assert_allclose(g_t, g_s, rtol=1e-4, atol=1e-4)
