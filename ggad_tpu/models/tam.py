@@ -134,6 +134,168 @@ class TAMResult:
     per_round_scores: np.ndarray  # [rounds, N]
 
 
+# ---------------------------------------------------------------------------
+# Block-diagonal ensemble tiles (the MXU fast path for run_tam)
+# ---------------------------------------------------------------------------
+
+def _blockdiag_bcsr(row, col, vs, n_nodes, n_members, tile_rows,
+                    dtype=np.float32):
+    """Tall-tile BCSR of the block-diag matrix diag(A_1..A_M) where all
+    A_m share the sparsity (row, col) and member m's edge values are
+    ``vs[m]``. Edge order is arbitrary (np.unique/scatter handle it);
+    per-member tile offsets keep the global (tile_row, tile_col) sort.
+    """
+    from ggad_tpu.ops.pallas_spmm import TILE, BCSR, _round_up
+
+    # BOTH spaces pad to the same per-member stride P = ru(N, tile_rows)
+    # so [h_1 ‖ … ‖ h_M] packs/unpacks with one reshape (tile_rows is a
+    # multiple of 128, so P is lane-aligned too)
+    rp = _round_up(max(n_nodes, tile_rows), tile_rows)
+    cp = rp
+    nrt, nct = rp // tile_rows, cp // TILE
+    tkey = (row // tile_rows).astype(np.int64) * nct + col // TILE
+    uniq, inv = np.unique(tkey, return_inverse=True)
+    t = len(uniq)
+    trows = (uniq // nct).astype(np.int64)
+    tcols = (uniq % nct).astype(np.int64)
+    m = np.arange(n_members)[:, None]
+    rows_bd = (trows[None, :] + m * nrt).reshape(-1).astype(np.int32)
+    cols_bd = (tcols[None, :] + m * nct).reshape(-1).astype(np.int32)
+    values = np.zeros((n_members * t, tile_rows, TILE), np.float32)
+    rr, cc = row % tile_rows, col % TILE
+    for mi in range(n_members):
+        np.add.at(values, (mi * t + inv, rr, cc), vs[mi])
+    return BCSR(tile_rows=jnp.asarray(rows_bd),
+                tile_cols=jnp.asarray(cols_bd),
+                values=jnp.asarray(values.astype(dtype)),
+                n_rows=n_members * rp, n_cols=n_members * cp)
+
+
+def _blockdiag_pair(g: Graph, val_stack, tile_rows: int,
+                    dtype=np.float32):
+    """BCSRPair for diag(A_1..A_M) with per-member edge values
+    ``val_stack`` [M, E_pad] in g's edge order. Returns
+    (pair, row_pad_per_member, col_pad_per_member)."""
+    from ggad_tpu.ops.pallas_spmm import TILE, BCSRPair, _round_up
+
+    e = g.n_edges
+    row = np.asarray(g.row)[:e]
+    col = np.asarray(g.col)[:e]
+    vs = np.asarray(val_stack)[:, :e]
+    n_members = vs.shape[0]
+    fwd = _blockdiag_bcsr(row, col, vs, g.n_nodes, n_members, tile_rows,
+                          dtype)
+    bwd = _blockdiag_bcsr(col, row, vs, g.n_nodes, n_members, tile_rows,
+                          dtype)
+    rp = _round_up(max(g.n_nodes, tile_rows), tile_rows)
+    return BCSRPair(fwd=fwd, bwd=bwd, n_nodes=g.n_nodes), rp, rp
+
+
+def _train_ensemble_bcsr(model, tx, raw_adj, raw_ell, x, normal_idx,
+                         norm_stack, member_keys, *, n_h, num_epoch,
+                         tile_rows, verbose, budget_bytes=4 << 30):
+    """Train the whole (chunked) ensemble through ONE block-diagonal
+    tall-tile BCSR matmul per layer: diag(Â_1..Â_M) @ [h_1 ‖ … ‖ h_M].
+
+    Members share sparsity, so the block-diag tile structure is the
+    member structure replicated with offsets; Adam is elementwise, so
+    the stacked parameter tree needs no vmap (same trajectories as the
+    sequential reference loop — pinned by the impl-equality test).
+    The affinity stays on the shared ELL tables (vmapped over emb).
+    """
+    import dataclasses as _dc
+
+    import optax
+
+    from ggad_tpu.ops.pallas_spmm import TILE, _round_up, bcsr_spmm
+
+    n = raw_adj.n_nodes
+    n_members = norm_stack.shape[0]
+    e = raw_adj.n_edges
+    row = np.asarray(raw_adj.row)[:e]
+    col = np.asarray(raw_adj.col)[:e]
+    p_pad = _round_up(max(n, tile_rows), tile_rows)
+    t_est = len(np.unique((row // tile_rows).astype(np.int64)
+                          * (p_pad // TILE) + col // TILE))
+    per_member = 2 * t_est * tile_rows * TILE * 4
+    chunk = max(1, min(n_members, int(budget_bytes // per_member)))
+
+    def init_one(key):
+        return model.init({"params": key}, raw_ell, x)
+
+    from functools import partial
+
+    @partial(jax.jit, static_argnums=(6,))
+    def epoch_block(params_b, opt_state, pair, xd, ell_d, nidx, k):
+        m_chunk = jax.tree_util.tree_leaves(params_b)[0].shape[0]
+
+        def one(carry, _):
+            params_b, opt_state = carry
+
+            def loss_fn(pb):
+                pr = pb["params"]
+
+                def bd_spmm(h_b):
+                    w = h_b.shape[-1]
+                    hp = jnp.pad(
+                        h_b, ((0, 0), (0, p_pad - n), (0, 0))
+                    ).reshape(m_chunk * p_pad, w)
+                    out = bcsr_spmm(pair, hp)
+                    return out.reshape(m_chunk, p_pad, w)[:, :n]
+
+                def layer(name, h_b):
+                    wk = pr[name]["fc"]["kernel"]       # [M, fin, fout]
+                    hw = jnp.einsum("mnf,mfh->mnh", h_b, wk,
+                                    preferred_element_type=jnp.float32)
+                    agg = bd_spmm(hw) + pr[name]["bias"][:, None, :]
+                    alpha = pr[name]["prelu"]["alpha"]  # [M]
+                    return jnp.where(agg >= 0, agg,
+                                     alpha[:, None, None] * agg)
+
+                x_b = jnp.broadcast_to(xd, (m_chunk,) + xd.shape)
+                emb = layer("gcn2", layer("gcn1", x_b))
+                msg = jax.vmap(
+                    lambda em: node_affinity(ell_d, em))(emb)
+                norm_msg = jax.vmap(minmax)(msg)
+                loss_m = -jnp.sum(norm_msg[:, nidx], axis=1)
+                return jnp.sum(loss_m), (loss_m, msg)
+
+            (_, (loss_m, msg)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(params_b)
+            updates, opt_state = tx.update(grads, opt_state, params_b)
+            params_b = optax.apply_updates(params_b, updates)
+            return (params_b, opt_state), (loss_m, msg)
+
+        (params_b, opt_state), (loss_m, msg) = jax.lax.scan(
+            one, (params_b, opt_state), None, length=k)
+        return params_b, opt_state, loss_m[-1], msg[-1]
+
+    block = min(50, num_epoch)
+    chunk_messages = []
+    for start in range(0, n_members, chunk):
+        keys = member_keys[start:start + chunk]
+        vs = np.zeros((len(keys), e), np.float32)
+        vs[:] = np.asarray(norm_stack)[start:start + chunk, :e]
+        pair, _, _ = _blockdiag_pair(raw_adj, vs, tile_rows)
+        params_b = jax.vmap(init_one)(keys)
+        # plain (unvmapped) adam state: elementwise update + one shared
+        # step count == per-member adam exactly
+        opt_state = tx.init(params_b)
+        message = None
+        ep = 0
+        while ep < num_epoch:
+            k = min(block, num_epoch - ep)
+            params_b, opt_state, loss_m, message = epoch_block(
+                params_b, opt_state, pair, x, raw_ell,
+                normal_idx, k)
+            ep += k
+            if verbose:
+                print(f"tam[bcsr] members {start}+ epoch {ep}: mean "
+                      f"loss {float(jnp.mean(loss_m)):.4f}", flush=True)
+        chunk_messages.append(np.asarray(message))
+    return np.concatenate(chunk_messages, axis=0)
+
+
 def run_tam(
     graph: Graph,
     raw_adj: Graph,
@@ -147,6 +309,7 @@ def run_tam(
     lr: float = 1e-5,
     seed: int = 0,
     member_chunk: int | None = None,
+    impl: str | None = None,
     verbose: bool = False,
 ) -> TAMResult:
     """Full TAM pipeline: sequential cuts, vmapped parallel ensemble
@@ -203,6 +366,39 @@ def run_tam(
             member_vals.append(vals[t])
     val_stack = jnp.stack(member_vals)              # [M, E_pad]
     norm_stack = jax.vmap(lambda v: sym_normalize_vals(v, raw_adj))(val_stack)
+
+    # ---- impl routing: block-diag MXU ensemble vs shared-ELL vmap ------
+    # 'bcsr' (default on TPU): every layer of every member runs in ONE
+    # block-diagonal tall-tile Pallas matmul; 'ell': the scatter-free
+    # shared-table path (default off-TPU). Identical trajectories
+    # (tested: impl equality on CPU interpret mode).
+    if impl is None:
+        impl = "bcsr" if jax.default_backend() == "tpu" else "ell"
+    if impl == "bcsr":
+        import optax
+
+        from ggad_tpu.ops.pallas_spmm import pick_tile_rows
+
+        e = raw_adj.n_edges
+        tile_rows = pick_tile_rows(np.asarray(raw_adj.row)[:e],
+                                   np.asarray(raw_adj.col)[:e],
+                                   raw_adj.n_nodes)
+        model = TAMEncoder(n_h=n_h)
+        tx = optax.adam(lr)
+        rng, ikey = jax.random.split(rng)
+        member_keys = jax.random.split(ikey, n_members)
+        message = jnp.asarray(_train_ensemble_bcsr(
+            model, tx, raw_adj, raw_ell, x, normal_idx, norm_stack,
+            member_keys, n_h=n_h, num_epoch=num_epoch,
+            tile_rows=tile_rows, verbose=verbose))
+        messages = np.asarray(message)
+        per_cut = messages.reshape(cutting, n_tree, -1).mean(axis=1)
+        running = np.cumsum(per_cut, axis=0) / np.arange(
+            1, cutting + 1)[:, None]
+        final = 1.0 - np.asarray(minmax(jnp.asarray(running[-1])))
+        per_round = 1.0 - np.stack([
+            np.asarray(minmax(jnp.asarray(r))) for r in running])
+        return TAMResult(scores=final, per_round_scores=per_round)
 
     def to_planes(v, fm, bm):
         """Edge-order values → per-member ELL value planes."""

@@ -170,6 +170,26 @@ class TestTAM:
         assert [h["round"] for h in rounds] == [1, 2, 3]
         assert all(np.isfinite(h["auc"]) for h in res.history)
 
+    def test_tam_impl_equality(self, small_ds):
+        """The block-diag MXU ensemble (impl='bcsr', interpret mode on
+        CPU) reproduces the shared-ELL path member for member."""
+        from ggad_tpu.graph import add_self_loops, from_scipy
+        from ggad_tpu.models.tam import run_tam
+
+        g = from_scipy(small_ds.adj)
+        raw = add_self_loops(g)
+        kw = dict(n_h=12, cutting=2, n_tree=1, num_epoch=6, lr=1e-4,
+                  seed=0)
+        ell = run_tam(g, raw, small_ds.features,
+                      small_ds.normal_label_idx, impl="ell", **kw)
+        bcsr = run_tam(g, raw, small_ds.features,
+                       small_ds.normal_label_idx, impl="bcsr", **kw)
+        np.testing.assert_allclose(bcsr.scores, ell.scores,
+                                   rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(bcsr.per_round_scores,
+                                   ell.per_round_scores,
+                                   rtol=1e-4, atol=1e-5)
+
     def test_tam_member_chunk_invariant(self, small_ds):
         """Full-ensemble vmap (shared-structure ELL) must reproduce the
         sequential member_chunk=1 trajectories (the reference trains
