@@ -341,6 +341,12 @@ def prepare_halo(dataset, mesh: Mesh, axis: str = "nodes",
         ax = spmm_halo_bcsr(part, plan, tiles, x_pad, mesh, axis)
     else:
         ax = spmm_halo(part, plan, x_pad, mesh, axis)
+    if n_dev == 1 and spmm_impl == "pallas" and spmm_dtype == "bfloat16":
+        # one device = zero wire: the tall-tile bf16 SDDMM over ALL
+        # columns beats the edge-parallel subset psums (ablation r3);
+        # multi-device keeps the subset (its comm is two tiny psums
+        # instead of the full boundary exchange)
+        aff_sub = None
     return HaloSetup(part, plan, raw_part, raw_plan, x_pad, seed_idx,
                      normal_idx, tiles, raw_tiles, ax, seed_rows,
                      aff_sub)

@@ -163,6 +163,15 @@ class FullBatchTrainer:
                               dtype=self.spmm_dtype)
         self.raw_adj = maybe_bcsr(self.raw_adj, self.spmm_impl,
                                   dtype=self.spmm_dtype)
+        from ggad_tpu.ops.pallas_spmm import BCSRGraph
+        if (isinstance(self.raw_adj, BCSRGraph)
+                and self.spmm_dtype == "bfloat16"):
+            # tall-tile bf16 SDDMM: the FULL affinity on the MXU now
+            # beats the edge-parallel subset restriction (ablation r3:
+            # 1.01 ms vs 2.55 ms fwd+bwd) — identical values at the
+            # read nodes either way. f32-HIGHEST tiles pay 6 MXU passes
+            # and stay on the subset path (measured slower otherwise).
+            self.aff_sub = None
         self.features = jnp.asarray(ds.features, dtype=jnp.float32)
         self.seed_idx = jnp.asarray(ds.abnormal_label_idx, dtype=jnp.int32)
         self.normal_idx = jnp.asarray(ds.normal_label_idx, dtype=jnp.int32)

@@ -118,7 +118,7 @@ def main():
         key, sub = jax.random.split(key)
         params, opt_state, _ = tr._train_step_impl(
             params, opt_state, sub, tr.adj, tr.raw_adj, tr.features,
-            tr.seed_idx, tr.normal_idx, tr.seed_adj, tr.aff_sub)
+            tr.seed_idx, tr.normal_idx, tr.seed_adj, tr.aff_sub, tr.ax)
         return params, opt_state, key
 
     rows["full_step"] = timed_scan(full, (params, opt_state, rng),
