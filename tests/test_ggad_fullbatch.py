@@ -431,3 +431,32 @@ def test_precomputed_ax_parity():
         lambda a, b: np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=5e-4, atol=1e-4),
         g1, g0)
+
+
+def test_init_ggad_params_matches_full_init():
+    """init_ggad_params (2-node dummy graph) must produce EXACTLY the
+    params of a full init on the real graph — flax init values depend
+    only on rngs + feat_dim, which the halo/scaling paths rely on."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ggad_tpu.datasets.synthetic import synthetic_gad
+    from ggad_tpu.graph import from_scipy
+    from ggad_tpu.models.ggad import GGAD, init_ggad_params
+    from ggad_tpu.ops.normalize import normalize_adj_reference
+
+    ds = synthetic_gad(n_nodes=150, avg_degree=6, feat_dim=19, seed=3)
+    adj, _ = normalize_adj_reference(from_scipy(ds.adj))
+    model = GGAD(n_h=24, noise_mean=0.02, noise_std=0.01)
+    k1, k2 = jax.random.split(jax.random.PRNGKey(7))
+    rngs = {"params": k1, "noise": k2}
+    full = model.init(rngs, adj, jnp.asarray(ds.features, jnp.float32),
+                      jnp.asarray(ds.abnormal_label_idx, jnp.int32),
+                      jnp.asarray(ds.normal_label_idx, jnp.int32),
+                      train=True)
+    dummy = init_ggad_params(model, ds.features.shape[1], rngs)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a),
+                                                   np.asarray(b)),
+        full, dummy)
