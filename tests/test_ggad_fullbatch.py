@@ -460,3 +460,26 @@ def test_init_ggad_params_matches_full_init():
         lambda a, b: np.testing.assert_array_equal(np.asarray(a),
                                                    np.asarray(b)),
         full, dummy)
+
+
+def test_bf16_mode_routes_margin_through_tile_affinity():
+    """spmm_dtype=bfloat16 + BCSR drops the subset restriction (the
+    tall-tile SDDMM is faster); f32 keeps it. Losses stay close."""
+    from ggad_tpu.datasets.synthetic import synthetic_gad
+    from ggad_tpu.train.full_batch import FullBatchTrainer
+
+    ds = synthetic_gad(n_nodes=300, avg_degree=8, feat_dim=16, seed=5)
+    kw = dict(num_epoch=3, embedding_dim=16, noise_std=0.0,
+              eval_every=3, log_every=1, seed=0)
+    tr16 = FullBatchTrainer(ds, spmm_impl="pallas",
+                            spmm_dtype="bfloat16", **kw)
+    assert tr16.aff_sub is None          # tile-kernel affinity
+    tr32 = FullBatchTrainer(ds, spmm_impl="pallas",
+                            spmm_dtype="float32", **kw)
+    assert tr32.aff_sub is not None      # subset path kept
+    r16 = tr16.train()
+    r32 = tr32.train()
+    l16 = [r["loss"] for r in r16.history if "loss" in r]
+    l32 = [r["loss"] for r in r32.history if "loss" in r]
+    import numpy as np
+    np.testing.assert_allclose(l16, l32, rtol=2e-2)
