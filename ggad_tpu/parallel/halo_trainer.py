@@ -156,8 +156,10 @@ def halo_ggad_forward_and_losses(
     loss_margin = jnp.maximum(
         confidence_margin - (aff_normal - aff_outlier), 0.0)
 
+    # seed-axis reduction — the reference's batch-dim broadcast quirk
+    # (run.py:207-208), see ggad_tpu/train/losses.py for the derivation
     diff = jnp.square(emb_con - emb_abnormal)
-    loss_rec = jnp.mean(jnp.sqrt(jnp.sum(diff, axis=1)))
+    loss_rec = jnp.mean(jnp.sqrt(jnp.sum(diff, axis=0)))
 
     total = loss_margin + loss_bce + loss_rec
     return GGADLosses(total, loss_bce, loss_margin, loss_rec,

@@ -124,6 +124,13 @@ class FullBatchTrainer:
                                    # "ring" (per-distance ppermute hops,
                                    # ships Σ_k B_k rows — wins when the
                                    # boundary is skewed across pairs)
+    initial_params: Optional[Any] = None  # exact starting weights (e.g.
+                                   # converted from a torch state_dict by
+                                   # scripts/reference_oracle.py); replaces
+                                   # the seeded flax init when given
+    hoist_ax: bool = True          # precompute Â@x once (Â(xW₁)=(Âx)W₁);
+                                   # False keeps the reference's exact f32
+                                   # op order for oracle comparisons
 
     def __post_init__(self):
         ds = self.dataset
@@ -192,7 +199,8 @@ class FullBatchTrainer:
         # so Â@x is computed ONCE (f32-exact XLA path) and the per-step
         # gcn1 becomes a dense matmul — no SpMM fwd/bwd in layer 1
         from ggad_tpu.ops.spmm import spmm as _spmm
-        self.ax = _spmm(self.adj, self.features, impl="xla")
+        self.ax = (_spmm(self.adj, self.features, impl="xla")
+                   if self.hoist_ax else None)
 
         self.model = GGAD(n_h=self.embedding_dim,
                           noise_mean=self.noise_mean,
@@ -288,6 +296,14 @@ class FullBatchTrainer:
     # ------------------------------------------------------------------
     def init(self, rng: jax.Array):
         p_rng, n_rng = jax.random.split(rng)
+        if self.initial_params is not None:
+            params = jax.tree.map(jnp.asarray, self.initial_params)
+            opt_state = self.tx.init(params)
+            if self.mesh is not None:
+                from ggad_tpu.parallel.full_batch import replicate
+                params = replicate(params, self.mesh)
+                opt_state = replicate(opt_state, self.mesh)
+            return params, opt_state
         if self._halo is not None:
             # init values depend only on rngs + feat_dim (identical to
             # the full init) — skip the full-size forward trace

@@ -9,9 +9,10 @@
     labeled-normal nodes must exceed that of the generated outliers by
     ``confidence_margin = 0.7`` (reference ``run.py:174-205``). Computed
     here as an edge-space SDDMM (O(E·d)), not an N×N matmul.
-  * loss_rec — egocentric closeness: mean per-row L2 distance between the
-    generated outlier and the noise-perturbed seed embedding
-    (reference ``run.py:207-208``).
+  * loss_rec — egocentric closeness between the generated outliers and the
+    noise-perturbed seed embeddings (reference ``run.py:207-208``).
+    NB the reference reduces over the SEED axis, not per seed row — see
+    the inline note at the computation below.
 """
 
 from __future__ import annotations
@@ -88,9 +89,16 @@ def ggad_losses(
     loss_margin = jnp.maximum(
         confidence_margin - (aff_normal - aff_outlier), 0.0)
 
-    # Egocentric closeness (run.py:207-208)
+    # Egocentric closeness (run.py:207-208). Reference quirk, verified by
+    # EXECUTING run.py itself (scripts/reference_oracle.py): emb_abnormal
+    # keeps its batch dim [1,S,h] while emb_con is [S,h], so
+    # ``torch.sum(diff_attribute, 1)`` reduces over the SEED axis — the
+    # loss is mean_h sqrt(Σ_s diff²), a per-dimension L2 across the seed
+    # set, NOT the per-seed row norm every naive reading (ours included,
+    # rounds 1-3) produces. The minibatch path (src/graphsage.py:192-199)
+    # genuinely row-reduces because its tensors are feature-major [h,S].
     diff = jnp.square(out.emb_con - out.emb_abnormal)
-    loss_rec = jnp.mean(jnp.sqrt(jnp.sum(diff, axis=1)))
+    loss_rec = jnp.mean(jnp.sqrt(jnp.sum(diff, axis=0)))
 
     total = w_margin * loss_margin + w_bce * loss_bce + w_rec * loss_rec
     return GGADLosses(total, loss_bce, loss_margin, loss_rec,

@@ -1,0 +1,305 @@
+"""Execute the ACTUAL reference program as an end-to-end training oracle.
+
+Every other parity test in this repo pins against *re-derived* torch/numpy
+mirrors of the reference semantics; a shared misreading of the reference
+would pass all of them.  This harness removes that failure mode: it runs
+``/root/reference/run.py`` itself — unmodified, via ``runpy`` — on an
+exported synthetic ``.mat`` and compares its printed per-epoch loss
+trajectory and test AUROC/AP against :class:`FullBatchTrainer` under an
+*identical* split and *identical* initial weights.
+
+Why this is exact enough to compare trajectory-for-trajectory:
+
+  * For any dataset name outside ``['reddit', 'photo']`` the reference
+    forces ``mean = var = 0`` (``run.py:61-66``) and its perturbation is
+    ``torch.randn(size) * var + mean`` (``model.py:143``) — exactly zero.
+    Training is then fully deterministic given the initial weights.
+  * The split is captured by recording ``utils.load_mat``'s return value
+    (``utils.py:66-141``); the initial weights by recording
+    ``Model.state_dict()`` at construction (``model.py:108-131``).
+  * The reference's only irreproducible dependency is ``dgl``
+    (``run.py:8,72``, ``utils.py:7,144-148``) — its sole *executed* use for
+    GGAD is ``dgl.random.seed`` plus the dead ``adj_to_dgl_graph`` result
+    (``run.py:92``, unused thereafter), so a 5-line stub is faithful.
+
+Remaining divergence is pure float32 summation-order drift (dense torch
+matmul vs. our sparse segment-sum aggregation), which compounds through
+Adam; epoch-0 losses agree to ~1e-5 and the drift is reported per epoch.
+
+Usage (CPU; scrub the remote-TPU plugin env first):
+
+  env -u PALLAS_AXON_POOL_IPS JAX_PLATFORMS=cpu \
+      python scripts/reference_oracle.py --nodes 500 --epochs 40
+
+Writes ``ORACLE.json`` (side-by-side trajectories + diffs) at --out.
+"""
+
+from __future__ import annotations
+
+import argparse
+import contextlib
+import io
+import json
+import os
+import re
+import sys
+import tempfile
+import types
+
+import numpy as np
+import scipy.io as sio
+import scipy.sparse as sp
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+REFERENCE_DIR = os.environ.get("GGAD_REFERENCE_DIR", "/root/reference")
+sys.path.insert(0, REPO)
+
+
+def install_shims():
+    """Make the reference's imports satisfiable without dgl / old networkx.
+
+    ``dgl`` (absent here) is used only for ``dgl.random.seed`` and the
+    dead ``adj_to_dgl_graph`` (``utils.py:144-148``); networkx ≥3 renamed
+    ``from_scipy_sparse_matrix`` → ``from_scipy_sparse_array``.
+    """
+    if "dgl" not in sys.modules:
+        dgl = types.ModuleType("dgl")
+        dgl.random = types.SimpleNamespace(seed=lambda s: None)
+        dgl.DGLGraph = lambda *a, **k: None
+        dgl.contrib = types.SimpleNamespace(sampling=None)
+        sys.modules["dgl"] = dgl
+    import networkx as nx
+
+    if not hasattr(nx, "from_scipy_sparse_matrix"):
+        nx.from_scipy_sparse_matrix = nx.from_scipy_sparse_array
+
+
+def export_mat(ds, path: str):
+    """Write a dataset in the reference's ``.mat`` schema (utils.py:69-87)."""
+    sio.savemat(path, {
+        "Network": sp.csr_matrix(ds.adj),
+        "Attributes": sp.csr_matrix(np.asarray(ds.features, np.float64)),
+        "Label": np.asarray(ds.ano_labels).reshape(1, -1),
+    })
+
+
+def run_reference(dataset: str, workdir: str, *, epochs: int,
+                  lr: float = 1e-3, seed: int = 0) -> dict:
+    """Run ``/root/reference/run.py`` unmodified; capture split, init
+    weights, and stdout. ``workdir`` must contain ``dataset/<name>.mat``."""
+    install_shims()
+    if REFERENCE_DIR not in sys.path:
+        sys.path.insert(0, REFERENCE_DIR)
+    import model as ref_model  # /root/reference/model.py
+    import utils as ref_utils  # /root/reference/utils.py
+
+    holder: dict = {}
+    orig_load = ref_utils.load_mat
+    orig_init = ref_model.Model.__init__
+
+    def load_rec(*a, **k):
+        out = orig_load(*a, **k)
+        holder["load"] = out
+        return out
+
+    def init_rec(self, *a, **k):
+        orig_init(self, *a, **k)
+        # .clone() is load-bearing: optimiser.step() mutates the params
+        # in place, and .numpy() without a copy would alias that memory —
+        # the "captured init" would silently become the trained weights.
+        holder["state_dict"] = {
+            k2: v.detach().cpu().clone().numpy()
+            for k2, v in self.state_dict().items()}
+
+    ref_utils.load_mat = load_rec
+    ref_model.Model.__init__ = init_rec
+    argv = ["run.py", "--dataset", dataset, "--lr", str(lr),
+            "--num_epoch", str(epochs), "--seed", str(seed)]
+    buf = io.StringIO()
+    old_argv, old_cwd = sys.argv, os.getcwd()
+    try:
+        os.chdir(workdir)
+        sys.argv = argv
+        import runpy
+
+        with contextlib.redirect_stdout(buf):
+            runpy.run_path(os.path.join(REFERENCE_DIR, "run.py"),
+                           run_name="__main__")
+    finally:
+        sys.argv = old_argv
+        os.chdir(old_cwd)
+        ref_utils.load_mat = orig_load
+        ref_model.Model.__init__ = orig_init
+    holder["stdout"] = buf.getvalue()
+    holder["trajectory"] = parse_reference_stdout(holder["stdout"])
+    return holder
+
+
+def parse_reference_stdout(text: str) -> dict:
+    """Parse run.py's printed losses (every 2 epochs, run.py:217-229) and
+    test AUROC/AP (every 10 epochs, run.py:230-240)."""
+    losses: dict = {}
+    for key, tag in [("margin", "train_loss_margin"), ("bce", "train_loss_bce"),
+                     ("rec", "rec_loss"), ("total", "train_loss")]:
+        for m in re.finditer(rf"Epoch: (\d+) {tag}= ([-\d.eE]+)", text):
+            losses.setdefault(int(m.group(1)), {})[key] = float(m.group(2))
+    aucs = [float(m.group(1))
+            for m in re.finditer(r"Testing \S+ AUC:([\d.eE-]+)", text)]
+    aps = [float(m.group(1))
+           for m in re.finditer(r"Testing AP: ([\d.eE-]+)", text)]
+    evals = {10 * i: {"auc": a, "ap": p}
+             for i, (a, p) in enumerate(zip(aucs, aps))}
+    return {"losses": losses, "evals": evals}
+
+
+def flax_params_from_state_dict(sd: dict) -> dict:
+    """torch ``Model.state_dict()`` → our flax GGAD param tree.
+
+    torch ``nn.Linear.weight`` is [out, in] → flax kernel [in, out];
+    ``nn.PReLU.weight`` is [1] → flax scalar alpha. The reference Model's
+    dead members (gcn3/fc5/fc6/disc/readout, model.py:114-131) receive no
+    gradient (unused in forward) so dropping them preserves the update.
+    """
+    def T(k):
+        return np.asarray(sd[k], np.float32)
+
+    def gcn(name):
+        return {"fc": {"kernel": T(f"{name}.fc.weight").T},
+                "bias": T(f"{name}.bias"),
+                "prelu": {"alpha": T(f"{name}.act.weight").reshape(())}}
+
+    return {"params": {
+        "gcn1": gcn("gcn1"),
+        "gcn2": gcn("gcn2"),
+        "head": {f"fc{i}": {"kernel": T(f"fc{i}.weight").T}
+                 for i in (1, 2, 3)},
+        "fc4": {"kernel": T("fc4.weight").T},
+    }}
+
+
+def dataset_from_reference_load(load_tuple, name: str = "oracle"):
+    """Rebuild a GADDataset from the tuple the reference's load_mat
+    actually returned — identical adjacency, features (raw: the unknown
+    dataset name takes run.py:90's ``.todense()`` branch), and split."""
+    from ggad_tpu.datasets.core import GADDataset
+
+    (adj, feat, ano_labels, _all_idx, idx_train, idx_val, idx_test,
+     _ano2, _str_ano, _attr_ano, normal_label_idx,
+     abnormal_label_idx) = load_tuple
+    return GADDataset(
+        name=name,
+        adj=sp.csr_matrix(adj),
+        features=np.asarray(feat.todense(), np.float32),
+        ano_labels=np.asarray(ano_labels).ravel(),
+        idx_train=np.asarray(idx_train, np.int64),
+        idx_val=np.asarray(idx_val, np.int64),
+        idx_test=np.asarray(idx_test, np.int64),
+        normal_label_idx=np.asarray(normal_label_idx, np.int64),
+        abnormal_label_idx=np.asarray(abnormal_label_idx, np.int64),
+    )
+
+
+def run_ours(ds, initial_params, *, epochs: int, lr: float = 1e-3) -> dict:
+    """FullBatchTrainer under the reference's exact split + init.
+
+    ``hoist_ax=False`` keeps the reference's per-step op order
+    (Â(xW₁), not (Âx)W₁) so epoch-0 losses agree to float32 roundoff.
+    """
+    from ggad_tpu.train.full_batch import FullBatchTrainer
+
+    trainer = FullBatchTrainer(
+        dataset=ds, lr=lr, num_epoch=epochs, noise_mean=0.0, noise_std=0.0,
+        spmm_impl="xla", log_every=2, eval_every=10, hoist_ax=False,
+        initial_params=initial_params)
+    res = trainer.train()
+    losses = {r["epoch"]: {"margin": r["loss_margin"], "bce": r["loss_bce"],
+                           "rec": r["loss_rec"], "total": r["loss"]}
+              for r in res.history if "loss" in r}
+    evals = {r["epoch"]: {"auc": r["auc"], "ap": r["ap"]}
+             for r in res.history if "auc" in r}
+    return {"losses": losses, "evals": evals,
+            "final_auc": res.final_auc, "final_ap": res.final_ap}
+
+
+def compare(ref: dict, ours: dict) -> dict:
+    """Per-epoch |Δ| on every logged loss term and eval metric."""
+    rows = []
+    for ep in sorted(ref["losses"]):
+        if ep not in ours["losses"]:
+            continue
+        r, o = ref["losses"][ep], ours["losses"][ep]
+        rows.append({"epoch": ep, **{
+            f"d_{k}": abs(r[k] - o[k]) for k in ("margin", "bce", "rec",
+                                                 "total") if k in r and k in o}})
+    ev = []
+    for ep in sorted(ref["evals"]):
+        if ep not in ours["evals"]:
+            continue
+        r, o = ref["evals"][ep], ours["evals"][ep]
+        ev.append({"epoch": ep, "d_auc": abs(r["auc"] - o["auc"]),
+                   "d_ap": abs(r["ap"] - o["ap"])})
+    return {"loss_diffs": rows, "eval_diffs": ev}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--nodes", type=int, default=500)
+    ap.add_argument("--degree", type=int, default=8)
+    ap.add_argument("--feat-dim", type=int, default=16)
+    ap.add_argument("--epochs", type=int, default=40)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--lr", type=float, default=1e-3)
+    ap.add_argument("--out", default=os.path.join(REPO, "ORACLE.json"))
+    args = ap.parse_args()
+
+    from ggad_tpu.datasets.synthetic import synthetic_gad
+
+    ds = synthetic_gad(n_nodes=args.nodes, avg_degree=args.degree,
+                       feat_dim=args.feat_dim, n_communities=4,
+                       anomaly_rate=0.1, seed=args.seed)
+
+    with tempfile.TemporaryDirectory() as tmp:
+        os.makedirs(os.path.join(tmp, "dataset"), exist_ok=True)
+        export_mat(ds, os.path.join(tmp, "dataset", "oraclesynth.mat"))
+        print(f"[oracle] running reference run.py: N={args.nodes} "
+              f"E={ds.n_edges} F={args.feat_dim} epochs={args.epochs}")
+        ref = run_reference("oraclesynth", tmp, epochs=args.epochs,
+                            lr=args.lr, seed=args.seed)
+
+    ds2 = dataset_from_reference_load(ref["load"])
+    params = flax_params_from_state_dict(ref["state_dict"])
+    print("[oracle] running FullBatchTrainer under the captured "
+          "split + initial weights")
+    ours = run_ours(ds2, params, epochs=args.epochs, lr=args.lr)
+    diffs = compare(ref["trajectory"], ours)
+
+    print(f"{'epoch':>6} {'ref total':>10} {'ours total':>10} {'|Δ|':>9}")
+    for ep in sorted(ref["trajectory"]["losses"]):
+        if ep not in ours["losses"]:
+            continue
+        r = ref["trajectory"]["losses"][ep]["total"]
+        o = ours["losses"][ep]["total"]
+        print(f"{ep:>6} {r:>10.5f} {o:>10.5f} {abs(r - o):>9.2e}")
+    for row in diffs["eval_diffs"]:
+        ep = row["epoch"]
+        r = ref["trajectory"]["evals"][ep]
+        o = ours["evals"][ep]
+        print(f"eval @{ep:>4}: AUROC ref {r['auc']:.4f} ours {o['auc']:.4f} "
+              f"(Δ {row['d_auc']:.4f})  AP ref {r['ap']:.4f} "
+              f"ours {o['ap']:.4f} (Δ {row['d_ap']:.4f})")
+
+    record = {
+        "config": {"nodes": args.nodes, "edges": int(ds.n_edges),
+                   "feat_dim": args.feat_dim, "epochs": args.epochs,
+                   "lr": args.lr, "seed": args.seed},
+        "reference": ref["trajectory"],
+        "ours": {"losses": ours["losses"], "evals": ours["evals"]},
+        "diffs": diffs,
+    }
+    with open(args.out, "w") as f:
+        json.dump(record, f, indent=1, default=float)
+    print(f"[oracle] wrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -79,7 +79,9 @@ def numpy_oracle(w, adj_d, raw_d, x, seed_idx, normal_idx, noise_mean,
     aff = similar.sum(0) / raw_d.sum(0)
     loss_margin = max(0.0, margin - (aff[normal_idx].mean()
                                      - aff[seed_idx].mean()))
-    rec = np.mean(np.sqrt(np.sum((emb_con - emb_abnormal) ** 2, axis=1)))
+    # seed-axis reduction: the reference's [1,S,h]-vs-[S,h] broadcast
+    # quirk (run.py:207-208), pinned by scripts/reference_oracle.py
+    rec = np.mean(np.sqrt(np.sum((emb_con - emb_abnormal) ** 2, axis=0)))
     return {
         "emb_out": emb_out, "logits": logits, "emb_con": emb_con,
         "bce": bce, "margin": loss_margin, "rec": rec,
@@ -186,7 +188,7 @@ def test_gradients_match_torch_autograd(setup):
     sim = emb_n @ emb_n.T
     aff = (sim * raw_d).sum(0) / raw_d.sum(0)
     loss_margin = torch.clamp(0.7 - (aff[ni].mean() - aff[si].mean()), min=0)
-    rec = torch.mean(torch.sqrt(torch.sum((emb_con - emb_abnormal) ** 2, 1)))
+    rec = torch.mean(torch.sqrt(torch.sum((emb_con - emb_abnormal) ** 2, 0)))
     total = bce + loss_margin + rec
     total.backward()
 

@@ -97,7 +97,9 @@ def test_training_trajectory_matches_torch():
         aff = ((emb_n @ emb_n.T) * raw_d).sum(0) / raw_d.sum(0)
         margin = torch.clamp(0.7 - (aff[nit].mean() - aff[sit].mean()),
                              min=0)
-        rec = (emb_con - emb_abn).pow(2).sum(1).sqrt().mean()
+        # seed-axis sum: reference's batch-dim broadcast quirk
+        # (run.py:207-208, verified by scripts/reference_oracle.py)
+        rec = (emb_con - emb_abn).pow(2).sum(0).sqrt().mean()
         total = bce + margin + rec
         total.backward()
         opt.step()
