@@ -139,6 +139,10 @@ def bench_bcsr_kernel(ds, *, dtype="bfloat16", n_h=300, scan_steps=20,
     g = as_bcsr_graph(adj, dtype=dtype)
     tiles = g.tiles
     n_tiles = tiles.fwd.n_tiles
+    # actual tile shape — pick_tile_rows may choose TALL tiles (512×128);
+    # hardcoding TILE×TILE here undercounted flops AND tile-store bytes
+    # 4× in round 3 (the "39% of HBM roofline" was an accounting artifact)
+    t_rows, t_cols = (int(s) for s in tiles.fwd.values.shape[-2:])
     d_pad = ((n_h + TILE - 1) // TILE) * TILE
 
     @partial(jax.jit, static_argnums=(2,))
@@ -166,11 +170,12 @@ def bench_bcsr_kernel(ds, *, dtype="bfloat16", n_h=300, scan_steps=20,
         est.append(max(((t2 - t1) - (t1 - t0)) / scan_steps, 1e-9))
     dt = statistics.median(est)
 
-    flops = 2.0 * n_tiles * TILE * TILE * d_pad
+    flops = 2.0 * n_tiles * t_rows * t_cols * d_pad
     val_bytes = 2 if dtype == "bfloat16" else 4
-    # tile store + one H slab read per occupied tile + output writes
-    hbm_bytes = (n_tiles * TILE * TILE * val_bytes
-                 + n_tiles * TILE * d_pad * val_bytes
+    # tile store + one [t_cols, d] H slab read per occupied tile +
+    # output writes (f32 accumulator store, one per output block)
+    hbm_bytes = (n_tiles * t_rows * t_cols * val_bytes
+                 + n_tiles * t_cols * d_pad * val_bytes
                  + tiles.fwd.n_rows * d_pad * 4)
     tflops = flops / dt
     gbs = hbm_bytes / dt
@@ -180,6 +185,7 @@ def bench_bcsr_kernel(ds, *, dtype="bfloat16", n_h=300, scan_steps=20,
         "dtype": dtype,
         "spmm_fwd_ms": round(dt * 1e3, 3),
         "n_tiles": int(n_tiles),
+        "tile_shape": [t_rows, t_cols],
         "achieved_tflops": round(tflops / 1e12, 2),
         "mxu_util": round(util_mxu, 3),
         "achieved_hbm_gbs": round(gbs / 1e9, 1),

@@ -130,7 +130,14 @@ def run_reconstruction(model_name: str, ds: GADDataset, *,
 def run_ocgnn(ds: GADDataset, *, num_epoch: int = 100, lr: float = 1e-3,
               embedding_dim: int = 300, eval_every: int = 5, seed: int = 0,
               beta: float = 0.5, use_warmup: bool = False,
-              verbose: bool = False, logger=None) -> BaselineResult:
+              verbose: bool = False, logger=None,
+              initial_params=None) -> BaselineResult:
+    """NB unlike the DOMINANT driver (pre-update scores,
+    ``dominant.py:138-153``), the reference OCGNN driver evaluates with a
+    FRESH forward after ``optimiser.step()`` (``ocgnn.py:196-203``) — so
+    scores here come from a separate post-update eval pass.
+    ``initial_params``: exact starting weights (reference-oracle
+    injection); replaces the seeded init."""
     from ggad_tpu.models.ocgnn import (
         OCGNNEncoder,
         init_ocgnn_state,
@@ -140,7 +147,9 @@ def run_ocgnn(ds: GADDataset, *, num_epoch: int = 100, lr: float = 1e-3,
 
     adj, raw, x, train_idx = _prep(ds)
     model = OCGNNEncoder(n_h=embedding_dim)
-    params = model.init(jax.random.PRNGKey(seed), adj, x)
+    params = (jax.tree.map(jnp.asarray, initial_params)
+              if initial_params is not None
+              else model.init(jax.random.PRNGKey(seed), adj, x))
     tx = optax.adam(lr)
     opt_state = tx.init(params)
     oc_state = init_ocgnn_state(embedding_dim)
@@ -152,26 +161,30 @@ def run_ocgnn(ds: GADDataset, *, num_epoch: int = 100, lr: float = 1e-3,
             emb = model.apply(p, adj, x)
             loss, _, new_state = ocgnn_loss(
                 emb[train_idx], oc_state, beta=beta, use_warmup=use_warmup)
-            return loss, (new_state, emb)
+            return loss, new_state
 
-        (loss, (new_state, emb)), grads = jax.value_and_grad(
+        (loss, new_state), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(params)
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
-        return params, opt_state, new_state, loss, ocgnn_scores(emb, new_state)
+        return params, opt_state, new_state, loss
 
-    state = {"params": params, "opt": opt_state, "oc": oc_state,
-             "scores": None}
+    @jax.jit
+    def eval_scores(params, oc_state, adj, x):
+        return ocgnn_scores(model.apply(params, adj, x), oc_state)
+
+    state = {"params": params, "opt": opt_state, "oc": oc_state}
 
     def step():
-        (state["params"], state["opt"], state["oc"], loss,
-         scores) = train_step(state["params"], state["opt"], state["oc"],
-                              adj, x, train_idx)
-        state["scores"] = scores
+        (state["params"], state["opt"], state["oc"],
+         loss) = train_step(state["params"], state["opt"], state["oc"],
+                            adj, x, train_idx)
         return loss
 
     return _loop(num_epoch, eval_every, step,
-                 lambda: np.asarray(state["scores"]), ds, verbose, logger)
+                 lambda: np.asarray(eval_scores(state["params"],
+                                                state["oc"], adj, x)),
+                 ds, verbose, logger)
 
 
 # ---------------------------------------------------------------------------

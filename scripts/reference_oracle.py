@@ -135,6 +135,94 @@ def run_reference(dataset: str, workdir: str, *, epochs: int,
     return holder
 
 
+def run_reference_ocgnn(dataset: str, workdir: str, *, epochs: int,
+                        lr: float = 1e-3, seed: int = 0) -> dict:
+    """Run ``/root/reference/ocgnn.py`` unmodified (torch-only + the same
+    dgl stub). OCGNN training is fully deterministic — no RNG is consumed
+    after init (``ocgnn.py:80-113`` re-creates r=0, c=0 every call; the
+    warmup block's update is discarded)."""
+    install_shims()
+    if REFERENCE_DIR not in sys.path:
+        sys.path.insert(0, REFERENCE_DIR)
+    import model_ocgnn as ref_model_ocgnn
+    import utils as ref_utils
+
+    holder: dict = {}
+    orig_load = ref_utils.load_mat
+    orig_init = ref_model_ocgnn.Model.__init__
+
+    def load_rec(*a, **k):
+        out = orig_load(*a, **k)
+        holder["load"] = out
+        return out
+
+    def init_rec(self, *a, **k):
+        orig_init(self, *a, **k)
+        holder["state_dict"] = {
+            k2: v.detach().cpu().clone().numpy()
+            for k2, v in self.state_dict().items()}
+
+    ref_utils.load_mat = load_rec
+    ref_model_ocgnn.Model.__init__ = init_rec
+    argv = ["ocgnn.py", "--dataset", dataset, "--lr", str(lr),
+            "--num_epoch", str(epochs), "--seed", str(seed)]
+    buf = io.StringIO()
+    old_argv, old_cwd = sys.argv, os.getcwd()
+    try:
+        os.chdir(workdir)
+        sys.argv = argv
+        import runpy
+
+        with contextlib.redirect_stdout(buf):
+            runpy.run_path(os.path.join(REFERENCE_DIR, "ocgnn.py"),
+                           run_name="__main__")
+    finally:
+        sys.argv = old_argv
+        os.chdir(old_cwd)
+        ref_utils.load_mat = orig_load
+        ref_model_ocgnn.Model.__init__ = orig_init
+    holder["stdout"] = buf.getvalue()
+    text = holder["stdout"]
+    losses = {int(m.group(1)): {"total": float(m.group(2))}
+              for m in re.finditer(r"Epoch: (\d+) train_loss= ([-\d.eE]+)",
+                                   text)}
+    aucs = [float(m.group(1))
+            for m in re.finditer(r"Testing \S+ AUC:([\d.eE-]+)", text)]
+    aps = [float(m.group(1))
+           for m in re.finditer(r"Testing AP: ([\d.eE-]+)", text)]
+    evals = {5 * i: {"auc": a, "ap": p}
+             for i, (a, p) in enumerate(zip(aucs, aps))}
+    holder["trajectory"] = {"losses": losses, "evals": evals}
+    return holder
+
+
+def ocgnn_flax_params_from_state_dict(sd: dict) -> dict:
+    """torch OCGNN ``Model.state_dict()`` → our OCGNNEncoder param tree
+    (the disc/readout members are unused in its forward,
+    ``model_ocgnn.py:128-131``)."""
+    def T(k):
+        return np.asarray(sd[k], np.float32)
+
+    def gcn(name):
+        return {"fc": {"kernel": T(f"{name}.fc.weight").T},
+                "bias": T(f"{name}.bias"),
+                "prelu": {"alpha": T(f"{name}.act.weight").reshape(())}}
+
+    return {"params": {"gcn1": gcn("gcn1"), "gcn2": gcn("gcn2")}}
+
+
+def run_ours_ocgnn(ds, initial_params, *, epochs: int,
+                   lr: float = 1e-3) -> dict:
+    from ggad_tpu.train.baselines import run_ocgnn
+
+    res = run_ocgnn(ds, num_epoch=epochs, lr=lr, eval_every=5,
+                    initial_params=initial_params)
+    losses = {r["epoch"]: {"total": r["loss"]} for r in res.history}
+    evals = {r["epoch"]: {"auc": r["auc"], "ap": r["ap"]}
+             for r in res.history}
+    return {"losses": losses, "evals": evals}
+
+
 def parse_reference_stdout(text: str) -> dict:
     """Parse run.py's printed losses (every 2 epochs, run.py:217-229) and
     test AUROC/AP (every 10 epochs, run.py:230-240)."""
@@ -250,6 +338,8 @@ def main():
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--lr", type=float, default=1e-3)
     ap.add_argument("--out", default=os.path.join(REPO, "ORACLE.json"))
+    ap.add_argument("--leg", choices=["ggad", "ocgnn", "both"],
+                    default="both")
     args = ap.parse_args()
 
     from ggad_tpu.datasets.synthetic import synthetic_gad
@@ -258,9 +348,40 @@ def main():
                        feat_dim=args.feat_dim, n_communities=4,
                        anomaly_rate=0.1, seed=args.seed)
 
+    ocgnn_record = None
     with tempfile.TemporaryDirectory() as tmp:
         os.makedirs(os.path.join(tmp, "dataset"), exist_ok=True)
         export_mat(ds, os.path.join(tmp, "dataset", "oraclesynth.mat"))
+        if args.leg in ("ocgnn", "both"):
+            oc_epochs = min(args.epochs, 30)
+            print(f"[oracle] running reference ocgnn.py: N={args.nodes} "
+                  f"epochs={oc_epochs}")
+            oref = run_reference_ocgnn("oraclesynth", tmp,
+                                       epochs=oc_epochs, lr=args.lr,
+                                       seed=args.seed)
+            ds_oc = dataset_from_reference_load(oref["load"])
+            oc_params = ocgnn_flax_params_from_state_dict(
+                oref["state_dict"])
+            oours = run_ours_ocgnn(ds_oc, oc_params, epochs=oc_epochs,
+                                   lr=args.lr)
+            oc_diffs = compare(oref["trajectory"], oours)
+            for row in oc_diffs["loss_diffs"]:
+                ep = row["epoch"]
+                r = oref["trajectory"]["losses"][ep]["total"]
+                o = oours["losses"][ep]["total"]
+                print(f"[ocgnn] epoch {ep:>4} ref {r:.5f} ours {o:.5f} "
+                      f"|Δ| {abs(r - o):.2e}")
+            for row in oc_diffs["eval_diffs"]:
+                print(f"[ocgnn] eval @{row['epoch']:>4}: ΔAUROC "
+                      f"{row['d_auc']:.4f} ΔAP {row['d_ap']:.4f}")
+            ocgnn_record = {"reference": oref["trajectory"],
+                            "ours": oours, "diffs": oc_diffs}
+        if args.leg == "ocgnn":
+            with open(args.out, "w") as f:
+                json.dump({"ocgnn": ocgnn_record}, f, indent=1,
+                          default=float)
+            print(f"[oracle] wrote {args.out}")
+            return
         print(f"[oracle] running reference run.py: N={args.nodes} "
               f"E={ds.n_edges} F={args.feat_dim} epochs={args.epochs}")
         ref = run_reference("oraclesynth", tmp, epochs=args.epochs,
@@ -295,6 +416,7 @@ def main():
         "reference": ref["trajectory"],
         "ours": {"losses": ours["losses"], "evals": ours["evals"]},
         "diffs": diffs,
+        "ocgnn": ocgnn_record,
     }
     with open(args.out, "w") as f:
         json.dump(record, f, indent=1, default=float)

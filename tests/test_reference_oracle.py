@@ -64,3 +64,38 @@ def test_trajectory_matches_executed_reference(tmp_path):
         o = ours["evals"][ep]
         assert abs(r["auc"] - o["auc"]) < 5e-3, (ep, r, o)
         assert abs(r["ap"] - o["ap"]) < 5e-3, (ep, r, o)
+
+
+@pytest.mark.slow
+def test_ocgnn_matches_executed_reference(tmp_path):
+    pytest.importorskip("torch")
+    from scripts.reference_oracle import (
+        dataset_from_reference_load,
+        export_mat,
+        ocgnn_flax_params_from_state_dict,
+        run_ours_ocgnn,
+        run_reference_ocgnn,
+    )
+    from ggad_tpu.datasets.synthetic import synthetic_gad
+
+    epochs = 11
+    ds = synthetic_gad(n_nodes=150, avg_degree=8, feat_dim=12,
+                       n_communities=4, anomaly_rate=0.1, seed=5)
+    os.makedirs(tmp_path / "dataset", exist_ok=True)
+    export_mat(ds, str(tmp_path / "dataset" / "oraclesynth.mat"))
+    ref = run_reference_ocgnn("oraclesynth", str(tmp_path),
+                              epochs=epochs, seed=5)
+    ds2 = dataset_from_reference_load(ref["load"])
+    params = ocgnn_flax_params_from_state_dict(ref["state_dict"])
+    ours = run_ours_ocgnn(ds2, params, epochs=epochs)
+
+    ref_losses = ref["trajectory"]["losses"]
+    assert ref_losses, ref["stdout"][-2000:]
+    for ep, r in ref_losses.items():
+        o = ours["losses"][ep]
+        assert abs(r["total"] - o["total"]) < 1e-3 + 1e-3 * abs(r["total"]), (
+            ep, r, o)
+    for ep, r in ref["trajectory"]["evals"].items():
+        o = ours["evals"][ep]
+        assert abs(r["auc"] - o["auc"]) < 5e-3, (ep, r, o)
+        assert abs(r["ap"] - o["ap"]) < 5e-3, (ep, r, o)
