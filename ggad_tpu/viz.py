@@ -53,6 +53,45 @@ def draw_affinity_pdf(message_normal, message_outlier, message_real_abnormal,
     return out_path
 
 
+def draw_affinity_pdf_methods(methods, out_path: str, *, bins: int = 30,
+                              labels=("Normal", "Outlier",
+                                      "Abnormal")) -> str:
+    """Per-method affinity histograms (reference ``draw_pdf_methods``,
+    ``utils.py:227-263``).
+
+    The reference renders the same three-population plot once per METHOD
+    (saving to ``fig/{method}/{dataset}2/...svg``, ylim 8); here the
+    methods render as aligned panels of one figure so the cross-method
+    comparison the reference builds file-by-file is a single artifact.
+
+    ``methods``: mapping ``name -> (message_normal, message_outlier,
+    message_real_abnormal)``.
+    """
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    _ensure_dir(out_path)
+    n = max(len(methods), 1)
+    fig, axes = plt.subplots(1, n, figsize=(6.0 * n, 5.5), squeeze=False)
+    colors = ["steelblue", "darkorange", "green"]
+    for ax, (name, pops) in zip(axes[0], methods.items()):
+        groups = [np.asarray(m).ravel() for m in pops]
+        _, bin_edges, _ = ax.hist(groups, bins=bins, density=True,
+                                  label=labels)
+        for g, c in zip(groups, colors):
+            if len(g) > 1:
+                ax.plot(bin_edges, _normpdf(bin_edges, g.mean(), g.std()),
+                        color=c, linestyle="--", linewidth=3.0)
+        ax.set_title(name)
+        ax.set_xlabel("Local affinity")
+    axes[0][0].set_ylabel("Density")
+    axes[0][0].legend(loc="upper left")
+    fig.savefig(out_path, dpi=150)
+    plt.close(fig)
+    return out_path
+
+
 def draw_roc(labels, scores, out_path: str) -> str:
     """ROC curve (reference ``draw_roc``, ``utils_tam.py:254-276``)."""
     import matplotlib

@@ -106,18 +106,28 @@ def main():
     ap.add_argument("--dtype", type=str, default="bfloat16")
     ap.add_argument("--n_h", type=int, default=300)
     ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--graph", type=str, default="photo",
+                    choices=["photo", "amazon"],
+                    help="benchmark-shaped graph regime: photo (7.5K N / "
+                         "457K E, tile-dense) or amazon (12K N / 4.4M E, "
+                         "dense — reference README.md:53)")
     args = ap.parse_args()
 
     import jax
     import jax.numpy as jnp
 
-    from ggad_tpu.datasets.synthetic import synthetic_gad
+    from ggad_tpu.datasets.synthetic import synthetic_gad, synthetic_like
     from ggad_tpu.graph import from_scipy
     from ggad_tpu.ops.normalize import normalize_adj_reference
 
-    ds = synthetic_gad(name="bench_photo", n_nodes=7535, avg_degree=31,
-                       feat_dim=745, n_communities=8, anomaly_rate=0.09,
-                       seed=0, seed_frac=0.15)
+    if args.graph == "amazon":
+        ds = synthetic_like("Amazon", seed=0)
+    else:
+        ds = synthetic_gad(name="bench_photo", n_nodes=7535, avg_degree=31,
+                           feat_dim=745, n_communities=8, anomaly_rate=0.09,
+                           seed=0, seed_frac=0.15)
+    print(json.dumps({"graph": args.graph, "n_nodes": int(ds.n_nodes),
+                      "n_edges": int(ds.n_edges)}), flush=True)
     adj, _ = normalize_adj_reference(from_scipy(ds.adj))
     e = adj.n_edges
     row = np.asarray(adj.row)[:e]

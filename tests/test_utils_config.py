@@ -85,7 +85,14 @@ def test_viz_outputs(tmp_path):
                            str(tmp_path / "fig/aff.pdf"))
     p2 = draw_roc(labels, scores, str(tmp_path / "fig/roc.png"))
     p3 = draw_pr(labels, scores, str(tmp_path / "fig/pr.png"))
-    for p in (p1, p2, p3):
+    from ggad_tpu.viz import draw_affinity_pdf_methods
+    p4 = draw_affinity_pdf_methods(
+        {"GGAD": (rng.normal(0.8, 0.1, 50), rng.normal(0.2, 0.1, 20),
+                  rng.normal(0.3, 0.2, 30)),
+         "TAM": (rng.normal(0.7, 0.1, 50), rng.normal(0.4, 0.1, 20),
+                 rng.normal(0.35, 0.2, 30))},
+        str(tmp_path / "fig/aff_methods.svg"))
+    for p in (p1, p2, p3, p4):
         assert os.path.exists(p) and os.path.getsize(p) > 0
 
 
