@@ -98,6 +98,84 @@ def comm_row(ds, d, n_h, schedule="dense"):
     return row
 
 
+def traced_collective_bytes(ds, d, n_h, schedule="dense",
+                            spmm_impl="xla"):
+    """MEASURED comm volume: trace the actual jitted halo train step and
+    sum the operand bytes of every collective primitive in its jaxpr
+    (recursing through pjit/scan/shard_map sub-jaxprs, scaling by scan
+    trip counts). This is what the program as written ships — the
+    cross-check for ``comm_row``'s host-side plan accounting. Per-device
+    bytes: ppermute ships its operand once; all_to_all (D-1)/D of it;
+    psum ≈ 2·(D-1)/D (ring all-reduce)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from ggad_tpu.models.ggad import GGAD, init_ggad_params
+    from ggad_tpu.parallel.full_batch import replicate
+    from ggad_tpu.parallel.halo_trainer import (
+        make_halo_train_step,
+        prepare_halo,
+    )
+    from ggad_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(d, axis_names=("nodes",))
+    setup = prepare_halo(ds, mesh, spmm_impl=spmm_impl,
+                         schedule=schedule)
+    model = GGAD(n_h=n_h, noise_mean=0.02, noise_std=0.01)
+    rng = jax.random.PRNGKey(0)
+    params = replicate(init_ggad_params(
+        model, ds.features.shape[1], {"params": rng, "noise": rng}),
+        mesh)
+    tx = optax.adam(1e-3)
+    opt_state = replicate(tx.init(params), mesh)
+    step = make_halo_train_step(tx, mesh, noise_mean=0.02,
+                                noise_std=0.01, n_h=n_h, n_steps=1)
+    jaxpr = jax.make_jaxpr(
+        lambda p, o, r: step(p, o, r, setup.part, setup.plan,
+                             setup.raw_part, setup.raw_plan, setup.x_pad,
+                             setup.seed_idx, setup.normal_idx,
+                             setup.tiles, setup.raw_tiles, setup.ax,
+                             setup.seed_rows, setup.aff_sub)
+    )(params, opt_state, rng)
+
+    COLLECTIVES = {"ppermute", "all_to_all", "psum", "psum_invariant",
+                   "all_gather", "reduce_scatter"}
+    totals: dict = {}
+
+    def sub_jaxprs(params_dict):
+        for v in params_dict.values():
+            for x in (v if isinstance(v, (list, tuple)) else (v,)):
+                if hasattr(x, "jaxpr"):        # ClosedJaxpr
+                    yield x.jaxpr
+                elif hasattr(x, "eqns"):       # Jaxpr
+                    yield x
+
+    def visit(jx, mult):
+        for eqn in jx.eqns:
+            name = eqn.primitive.name
+            if name in COLLECTIVES:
+                b = sum(int(np.prod(v.aval.shape)) * v.aval.dtype.itemsize
+                        for v in eqn.invars
+                        if hasattr(v.aval, "shape"))
+                if name == "all_to_all":
+                    wire = b * (d - 1) / d
+                elif name in ("psum", "psum_invariant", "all_gather",
+                              "reduce_scatter"):
+                    wire = 2 * b * (d - 1) / d
+                else:
+                    wire = b
+                totals[name] = totals.get(name, 0.0) + wire * mult
+                continue
+            m = mult * (eqn.params.get("length", 1)
+                        if name == "scan" else 1)
+            for sub in sub_jaxprs(eqn.params):
+                visit(sub, m)
+
+    visit(jaxpr.jaxpr, 1.0)
+    return totals
+
+
 def time_step(ds, d, n_h, iters=10, spmm_impl="xla",
               spmm_dtype="float32", schedule="dense"):
     """Median paired-difference step time of the jitted, scan-fused halo
@@ -186,6 +264,10 @@ def main():
                     choices=["dense", "ring", "sched"],
                     help="halo wire schedule (ring: per-distance-padded "
                          "ppermute rounds; sched: matched rounds)")
+    ap.add_argument("--trace_bytes", action="store_true",
+                    help="also trace the jitted step's jaxpr and report "
+                         "the MEASURED collective wire bytes per device "
+                         "(cross-check of the host-side plan numbers)")
     args = ap.parse_args()
 
     import jax
@@ -202,6 +284,14 @@ def main():
     t1 = args.compute_ms_1chip
     for d in devices:
         row = comm_row(ds, d, args.n_h, args.schedule)
+        if args.trace_bytes and 1 < d <= len(jax.devices()):
+            traced = traced_collective_bytes(ds, d, args.n_h,
+                                             args.schedule,
+                                             args.spmm_impl)
+            row["traced_wire_MB_per_device"] = round(
+                sum(traced.values()) / 2**20, 2)
+            row["traced_by_primitive_MB"] = {
+                k: round(v / 2**20, 2) for k, v in traced.items()}
         if args.time and d <= len(jax.devices()):
             row["step_ms_measured"] = round(
                 time_step(ds, d, args.n_h, args.iters,

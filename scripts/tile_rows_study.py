@@ -151,10 +151,14 @@ def main():
 
             def body(hp, _):
                 out = mm(rows, cols, vals, hp, rp)
-                out = out * jax.lax.rsqrt(
-                    jnp.mean(jnp.square(out)) + 1e-6)
-                return jnp.pad(out[: h.shape[0]],
-                               ((0, cp - h.shape[0]), (0, 0))), None
+                # normalize over the LIVE rows only: rp (row padding)
+                # varies with tile height, so an RMS over the padded
+                # array scales outputs by sqrt(rp/rp') across heights —
+                # a 4% artifact once misread as kernel inaccuracy
+                live = out[: h.shape[0]]
+                live = live * jax.lax.rsqrt(
+                    jnp.mean(jnp.square(live)) + 1e-6)
+                return jnp.pad(live, ((0, cp - h.shape[0]), (0, 0))), None
 
             hp, _ = jax.lax.scan(body, hp, None, length=k)
             return hp
