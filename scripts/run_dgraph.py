@@ -30,6 +30,11 @@ def main():
     ap.add_argument("--require_real", action="store_true",
                     help="refuse the synthetic fallback (error when "
                          "dgraphfin.npz is absent)")
+    ap.add_argument("--partition", type=int, default=0,
+                    help="also time the multilevel partitioner into this "
+                         "many parts (the D-chip edge-partition prep)")
+    ap.add_argument("--out", type=str, default=None,
+                    help="append the result JSON line to this file")
     args = ap.parse_args()
 
     from ggad_tpu.datasets.loaders import load_dataset
@@ -51,6 +56,17 @@ def main():
           f"test {len(idx_test)} seeds {len(idx_anom)} "
           f"({time.time() - t0:.1f}s)", flush=True)
 
+    part_s = None
+    if args.partition > 1:
+        from ggad_tpu.datasets.partition import multilevel_partition
+
+        t0 = time.time()
+        labels_p = multilevel_partition(ds.adj, args.partition)
+        part_s = time.time() - t0
+        sizes = np.bincount(labels_p, minlength=args.partition)
+        print(f"partition into {args.partition}: {part_s:.1f}s, "
+              f"sizes {sizes.min()}–{sizes.max()}", flush=True)
+
     tr = MiniBatchTrainer(
         adj=adj, features=ds.features, labels=labels,
         idx_train=idx_train, idx_anomaly=idx_anom,
@@ -62,16 +78,36 @@ def main():
     t0 = time.time()
     res = tr.train(verbose=True)
     steps = args.epochs * args.num_batches
+
+    import jax
+    mem = {}
+    try:
+        stats = jax.local_devices()[0].memory_stats() or {}
+        mem = {"hbm_in_use_GB": round(
+                   stats.get("bytes_in_use", 0) / 2**30, 2),
+               "hbm_peak_GB": round(
+                   stats.get("peak_bytes_in_use", 0) / 2**30, 2)}
+    except Exception:
+        pass
+
     out = {
         "nodes": ds.n_nodes, "edges": ds.n_edges,
+        "scale": args.scale,
         "steps": steps,
         "steps_per_s": round(steps / res.wall_time_s, 2),
         "best_val_auc": round(res.best_val_auc, 4),
         "test_auc": round(res.test_metrics["auc"], 4),
         "test_ap": round(res.test_metrics["ap"], 4),
         "wall_s": round(res.wall_time_s, 1),
+        **mem,
     }
+    if part_s is not None:
+        out["partition_s"] = round(part_s, 1)
+        out["partition_parts"] = args.partition
     print(json.dumps(out))
+    if args.out:
+        with open(args.out, "a") as f:
+            f.write(json.dumps(out) + "\n")
 
 
 if __name__ == "__main__":

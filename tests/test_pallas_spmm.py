@@ -79,7 +79,9 @@ def test_bcsr_tall_tiles_match(rng):
 
 def test_pick_tile_rows_density_aware():
     """Tall tiles only when the store stays compact: dense-ish block
-    graphs pick 512, row-scattered ultra-sparse graphs stay at 128."""
+    graphs pick the tallest candidate (1024, round-4 study: fastest on
+    both photo and amazon regimes), row-scattered ultra-sparse graphs
+    stay at 128."""
     from ggad_tpu.ops.pallas_spmm import pick_tile_rows
 
     rng = np.random.default_rng(0)
@@ -87,7 +89,7 @@ def test_pick_tile_rows_density_aware():
     # dense community block: every 128-tile in a column stripe occupied
     row = rng.integers(0, n, 40000)
     col = rng.integers(0, n, 40000)
-    assert pick_tile_rows(row, col, n) == 512
+    assert pick_tile_rows(row, col, n) == 1024
     # one edge per tile-row, distinct columns → tall tiles pure waste
     row2 = np.arange(0, n, 128)
     col2 = (np.arange(len(row2)) * 128) % n
