@@ -160,7 +160,13 @@ def synthetic_like(name: str, *, scale: float = 1.0, seed: int = 0,
     n, e, f = SYNTH_SHAPES[name]
     n = max(int(n * scale), 256)
     e = max(int(e * scale), 1024)
-    avg_degree = max(2 * e // n, 2)
+    # The reference README's edge counts are adjacency nnz (directed
+    # entries of the symmetric graph). synthetic_gad draws n·avg_degree
+    # directed pairs (``src = rng.integers(..., size=2*m)`` with
+    # m = n·avg_degree/2) and symmetrizes → nnz ≈ 2·n·avg_degree, so
+    # avg_degree = e/(2n) reproduces the published nnz. (Rounds ≤4 used
+    # 2e/n — 4× over: amazon carried 12.1M nnz vs the published 4.4M.)
+    avg_degree = max(e // (2 * n), 2)
     if seed_frac is None:
         seed_frac = 0.05 if name == "Amazon" else 0.15
     return synthetic_gad(

@@ -132,6 +132,11 @@ def tam_loss(emb: jax.Array, raw_adj: Graph,
 class TAMResult:
     scores: np.ndarray          # final ensemble score (1 − minmax(mean))
     per_round_scores: np.ndarray  # [rounds, N]
+    member_messages: np.ndarray | None = None  # [M, N] last-epoch raw
+                                # affinity per member (reference
+                                # message_sum, tam.py:192-201)
+    loss_history: dict | None = None  # epoch -> [M] per-member losses
+                                # (populated when loss_record given)
 
 
 # ---------------------------------------------------------------------------
@@ -193,7 +198,8 @@ def _blockdiag_pair(g: Graph, val_stack, tile_rows: int,
 
 def _train_ensemble_bcsr(model, tx, raw_adj, raw_ell, x, normal_idx,
                          norm_stack, member_keys, *, n_h, num_epoch,
-                         tile_rows, verbose, budget_bytes=4 << 30):
+                         tile_rows, verbose, budget_bytes=4 << 30,
+                         params_override=None, loss_record=None):
     """Train the whole (chunked) ensemble through ONE block-diagonal
     tall-tile BCSR matmul per layer: diag(Â_1..Â_M) @ [h_1 ‖ … ‖ h_M].
 
@@ -271,18 +277,37 @@ def _train_ensemble_bcsr(model, tx, raw_adj, raw_ell, x, normal_idx,
         return params_b, opt_state, loss_m[-1], msg[-1]
 
     block = min(50, num_epoch)
+    # with loss_record, block boundaries land right AFTER each recorded
+    # epoch (a k-epoch block starting at ep returns the PRE-update loss
+    # of epoch ep+k-1 — the value the reference prints, tam.py:198)
+    marks = (sorted({ep + 1 for ep in loss_record if ep < num_epoch}
+                    | {num_epoch}) if loss_record else None)
     chunk_messages = []
+    chunk_hists = []
     for start in range(0, n_members, chunk):
-        keys = member_keys[start:start + chunk]
-        vs = np.zeros((len(keys), e), np.float32)
-        vs[:] = np.asarray(norm_stack)[start:start + chunk, :e]
+        n_chunk = min(chunk, n_members - start)
+        keys = member_keys[start:start + n_chunk]
+        vs = np.zeros((n_chunk, e), np.float32)
+        vs[:] = np.asarray(norm_stack)[start:start + n_chunk, :e]
         pair, _, _ = _blockdiag_pair(raw_adj, vs, tile_rows)
-        params_b = jax.vmap(init_one)(keys)
+        if params_override is not None:
+            params_b = jax.tree.map(
+                lambda a: a[start:start + n_chunk], params_override)
+        else:
+            params_b = jax.vmap(init_one)(keys)
         # plain (unvmapped) adam state: elementwise update + one shared
         # step count == per-member adam exactly
         opt_state = tx.init(params_b)
         message = None
+        hist = {}
         ep = 0
+        for b in (marks or []):
+            params_b, opt_state, loss_m, message = epoch_block(
+                params_b, opt_state, pair, x, raw_ell, normal_idx,
+                b - ep)
+            ep = b
+            if b - 1 in loss_record:
+                hist[b - 1] = np.asarray(loss_m)
         while ep < num_epoch:
             k = min(block, num_epoch - ep)
             params_b, opt_state, loss_m, message = epoch_block(
@@ -293,7 +318,10 @@ def _train_ensemble_bcsr(model, tx, raw_adj, raw_ell, x, normal_idx,
                 print(f"tam[bcsr] members {start}+ epoch {ep}: mean "
                       f"loss {float(jnp.mean(loss_m)):.4f}", flush=True)
         chunk_messages.append(np.asarray(message))
-    return np.concatenate(chunk_messages, axis=0)
+        chunk_hists.append(hist)
+    history = ({ep: np.concatenate([h[ep] for h in chunk_hists])
+                for ep in chunk_hists[0]} if marks else None)
+    return np.concatenate(chunk_messages, axis=0), history
 
 
 def run_tam(
@@ -311,6 +339,9 @@ def run_tam(
     member_chunk: int | None = None,
     impl: str | None = None,
     verbose: bool = False,
+    val_stack_override=None,
+    member_params_override=None,
+    loss_record=None,
 ) -> TAMResult:
     """Full TAM pipeline: sequential cuts, vmapped parallel ensemble
     training in memory-bounded member chunks.
@@ -321,6 +352,13 @@ def run_tam(
     WHOLE ensemble at photo scale; the bound only kicks in on huge
     graphs). The reference trains members strictly sequentially
     (``tam.py:173-201``); chunking preserves per-member trajectories.
+
+    Oracle-injection hooks (scripts/reference_oracle.py):
+    ``val_stack_override`` [M, E_pad] replaces the NSGT cut values (raw
+    0/1 edge values, pre-normalization); ``member_params_override`` is a
+    stacked param tree replacing the seeded inits; ``loss_record`` is an
+    iterable of epochs whose per-member pre-update losses come back in
+    ``TAMResult.loss_history``.
     """
     import optax
 
@@ -357,14 +395,17 @@ def run_tam(
     rng = jax.random.PRNGKey(seed)
 
     # ---- build the cut-value stack (sequential in cuts, per tree) ------
-    vals = [raw_adj.val] * n_tree
-    member_vals = []
-    for c in range(cutting):
-        for t in range(n_tree):
-            rng, sub = jax.random.split(rng)
-            vals[t] = nsgt_cut(vals[t], dis, raw_adj, t_perm, sub)
-            member_vals.append(vals[t])
-    val_stack = jnp.stack(member_vals)              # [M, E_pad]
+    if val_stack_override is not None:
+        val_stack = jnp.asarray(val_stack_override, jnp.float32)
+    else:
+        vals = [raw_adj.val] * n_tree
+        member_vals = []
+        for c in range(cutting):
+            for t in range(n_tree):
+                rng, sub = jax.random.split(rng)
+                vals[t] = nsgt_cut(vals[t], dis, raw_adj, t_perm, sub)
+                member_vals.append(vals[t])
+        val_stack = jnp.stack(member_vals)          # [M, E_pad]
     norm_stack = jax.vmap(lambda v: sym_normalize_vals(v, raw_adj))(val_stack)
 
     # ---- impl routing: block-diag MXU ensemble vs shared-ELL vmap ------
@@ -387,10 +428,12 @@ def run_tam(
         tx = optax.adam(lr)
         rng, ikey = jax.random.split(rng)
         member_keys = jax.random.split(ikey, n_members)
-        message = jnp.asarray(_train_ensemble_bcsr(
+        message, history = _train_ensemble_bcsr(
             model, tx, raw_adj, raw_ell, x, normal_idx, norm_stack,
             member_keys, n_h=n_h, num_epoch=num_epoch,
-            tile_rows=tile_rows, verbose=verbose))
+            tile_rows=tile_rows, verbose=verbose,
+            params_override=member_params_override,
+            loss_record=loss_record)
         messages = np.asarray(message)
         per_cut = messages.reshape(cutting, n_tree, -1).mean(axis=1)
         running = np.cumsum(per_cut, axis=0) / np.arange(
@@ -398,7 +441,8 @@ def run_tam(
         final = 1.0 - np.asarray(minmax(jnp.asarray(running[-1])))
         per_round = 1.0 - np.stack([
             np.asarray(minmax(jnp.asarray(r))) for r in running])
-        return TAMResult(scores=final, per_round_scores=per_round)
+        return TAMResult(scores=final, per_round_scores=per_round,
+                         member_messages=messages, loss_history=history)
 
     def to_planes(v, fm, bm):
         """Edge-order values → per-member ELL value planes."""
@@ -473,15 +517,30 @@ def run_tam(
         return params, opt_state, loss, message
 
     block = min(50, num_epoch)
+    marks = (sorted({ep + 1 for ep in loss_record if ep < num_epoch}
+                    | {num_epoch}) if loss_record else None)
     chunk_messages = []
+    chunk_hists = []
     for start in range(0, n_members, member_chunk):
         keys = member_keys[start:start + member_chunk]
         plane_chunk = jax.tree.map(
             lambda a: a[start:start + member_chunk], plane_stack)
-        params = jax.vmap(init_one)(keys)
+        if member_params_override is not None:
+            params = jax.tree.map(
+                lambda a: a[start:start + member_chunk],
+                member_params_override)
+        else:
+            params = jax.vmap(init_one)(keys)
         opt_state = jax.vmap(tx.init)(params)
         message = None
+        hist = {}
         ep = 0
+        for b in (marks or []):
+            params, opt_state, loss, message = epoch_block(
+                params, opt_state, plane_chunk, x, raw_ell, b - ep)
+            ep = b
+            if b - 1 in loss_record:
+                hist[b - 1] = np.asarray(loss)
         while ep < num_epoch:
             n = min(block, num_epoch - ep)
             params, opt_state, loss, message = epoch_block(
@@ -491,7 +550,10 @@ def run_tam(
                 print(f"tam members {start}+ epoch {ep}: mean loss "
                       f"{float(jnp.mean(loss)):.4f}")
         chunk_messages.append(np.asarray(message))
+        chunk_hists.append(hist)
     message = jnp.asarray(np.concatenate(chunk_messages, axis=0))
+    history = ({ep: np.concatenate([h[ep] for h in chunk_hists])
+                for ep in chunk_hists[0]} if marks else None)
 
     # ---- ensemble scoring (reference tam.py:206-237) -------------------
     messages = np.asarray(message)                  # [M, N]
@@ -501,4 +563,5 @@ def run_tam(
     final = 1.0 - np.asarray(minmax(jnp.asarray(running[-1])))
     per_round = 1.0 - np.stack([
         np.asarray(minmax(jnp.asarray(r))) for r in running])
-    return TAMResult(scores=final, per_round_scores=per_round)
+    return TAMResult(scores=final, per_round_scores=per_round,
+                     member_messages=messages, loss_history=history)

@@ -223,6 +223,160 @@ def run_ours_ocgnn(ds, initial_params, *, epochs: int,
     return {"losses": losses, "evals": evals}
 
 
+def run_reference_tam(dataset: str, workdir: str, *, cutting: int = 8,
+                      seed: int = 0) -> dict:
+    """Run ``/root/reference/tam.py`` unmodified (torch-only; dgl and
+    torch_geometric stubbed — the latter's only import is the GINConv
+    used by the unused GIN class, ``model_tam.py:266-279``).
+
+    TAM hardcodes lr=1e-5 and num_epoch=500 (``tam.py:35-36``) and runs
+    UNSEEDED (every seeding line is commented out, ``tam.py:40-46``), so
+    the harness captures everything stochastic: the split
+    (``utils_tam.load_mat``), each member's NSGT cut adjacency
+    (``graph_nsgt`` returns), and each member's init ``state_dict``.
+    Given those, training is deterministic.
+    """
+    install_shims()
+    if "torch_geometric" not in sys.modules:
+        tg = types.ModuleType("torch_geometric")
+        tg.nn = types.ModuleType("torch_geometric.nn")
+        tg.nn.GINConv = type("GINConv", (), {})
+        sys.modules["torch_geometric"] = tg
+        sys.modules["torch_geometric.nn"] = tg.nn
+    if REFERENCE_DIR not in sys.path:
+        sys.path.insert(0, REFERENCE_DIR)
+    import model_tam as ref_model_tam
+    import utils_tam as ref_utils_tam
+
+    holder: dict = {"cuts": [], "state_dicts": []}
+    orig_load = ref_utils_tam.load_mat
+    orig_nsgt = ref_utils_tam.graph_nsgt
+    orig_init = ref_model_tam.Model.__init__
+
+    def load_rec(*a, **k):
+        out = orig_load(*a, **k)
+        holder["load"] = out
+        return out
+
+    def nsgt_rec(dis_array, adj):
+        out = orig_nsgt(dis_array, adj)
+        holder["cuts"].append(out.detach().clone().numpy())
+        return out
+
+    def init_rec(self, *a, **k):
+        orig_init(self, *a, **k)
+        holder["state_dicts"].append({
+            k2: v.detach().cpu().clone().numpy()
+            for k2, v in self.state_dict().items()})
+
+    ref_utils_tam.load_mat = load_rec
+    ref_utils_tam.graph_nsgt = nsgt_rec
+    ref_model_tam.Model.__init__ = init_rec
+    argv = ["tam.py", "--dataset", dataset, "--dataset_model", dataset,
+            "--cutting", str(cutting), "--seed", str(seed)]
+    buf = io.StringIO()
+    old_argv, old_cwd = sys.argv, os.getcwd()
+    try:
+        os.chdir(workdir)
+        os.makedirs("data", exist_ok=True)
+        os.makedirs("distance_save", exist_ok=True)
+        sys.argv = argv
+        import runpy
+
+        with contextlib.redirect_stdout(buf):
+            runpy.run_path(os.path.join(REFERENCE_DIR, "tam.py"),
+                           run_name="__main__")
+    finally:
+        sys.argv = old_argv
+        os.chdir(old_cwd)
+        ref_utils_tam.load_mat = orig_load
+        ref_utils_tam.graph_nsgt = orig_nsgt
+        ref_model_tam.Model.__init__ = orig_init
+    text = holder["stdout"] = buf.getvalue()
+    # per-member pre-update losses at epochs 0,50,...,450 (tam.py:196-198)
+    losses = [float(m.group(1))
+              for m in re.finditer(r"mean_loss is ([-\d.eE]+)", text)]
+    aucs = [float(m.group(1))
+            for m in re.finditer(r"AUC:([\d.eE-]+)", text)]
+    aps = [float(m.group(1))
+           for m in re.finditer(r"AP: ([\d.eE-]+)", text)]
+    # per cut: [member AUCs ×N_tree], AP_test, AUC_test, AP_all, AUC_all
+    holder["trajectory"] = {"losses": losses, "aucs": aucs, "aps": aps}
+    return holder
+
+
+def tam_flax_params_from_state_dicts(sds: list) -> dict:
+    """Stacked member param tree for our TAMEncoder (gcn1 n_in→2h,
+    gcn2 2h→h — ``model_tam.py:129-135``; fc1/fc2 feed only the
+    commented-out regularizer and get no gradient)."""
+    def gcn(sd, name):
+        return {"fc": {"kernel": np.asarray(sd[f"{name}.fc.weight"],
+                                            np.float32).T},
+                "bias": np.asarray(sd[f"{name}.bias"], np.float32),
+                "prelu": {"alpha": np.asarray(
+                    sd[f"{name}.act.weight"], np.float32).reshape(())}}
+
+    stacked = [{"params": {"gcn1": gcn(sd, "gcn1"),
+                           "gcn2": gcn(sd, "gcn2")}} for sd in sds]
+    import jax
+
+    return jax.tree.map(lambda *xs: np.stack(xs), *stacked)
+
+
+def run_ours_tam(ref: dict, *, cutting: int, n_h: int = 128,
+                 num_epoch: int = 500) -> dict:
+    """Our TAM ensemble under the reference's captured cuts + inits."""
+    import jax.numpy as jnp
+
+    from ggad_tpu.graph import add_self_loops, from_scipy
+    from ggad_tpu.models.tam import minmax, run_tam
+
+    adj, feat, ano_labels, _str, _attr, normal_idx, idx_test = ref["load"]
+    adj = sp.csr_matrix(adj)
+    feats = np.asarray(feat.todense(), np.float32)
+    graph = from_scipy(adj)
+    raw_adj = add_self_loops(graph)
+    e = raw_adj.n_edges
+    row = np.asarray(raw_adj.row)[:e]
+    col = np.asarray(raw_adj.col)[:e]
+    val_stack = np.zeros((len(ref["cuts"]), raw_adj.row.shape[0]),
+                         np.float32)
+    for m, cut in enumerate(ref["cuts"]):
+        val_stack[m, :e] = cut[row, col]
+    params = tam_flax_params_from_state_dicts(ref["state_dicts"])
+    res = run_tam(graph, raw_adj, feats,
+                  np.asarray(normal_idx, np.int64),
+                  n_h=n_h, cutting=cutting, n_tree=1,
+                  num_epoch=num_epoch, lr=1e-5,
+                  val_stack_override=val_stack,
+                  member_params_override=params,
+                  loss_record=list(range(0, num_epoch, 50)))
+
+    from ggad_tpu.ops.metrics import average_precision, roc_auc
+
+    ano = np.asarray(ano_labels).ravel()
+    idx_test = np.asarray(idx_test)
+    member_aucs = []
+    for m in range(res.member_messages.shape[0]):
+        s = 1.0 - np.asarray(minmax(jnp.asarray(res.member_messages[m])))
+        member_aucs.append(roc_auc(ano, s))
+    cut_test = [(roc_auc(ano[idx_test], res.per_round_scores[r][idx_test]),
+                 average_precision(ano[idx_test],
+                                   res.per_round_scores[r][idx_test]))
+                for r in range(cutting)]
+    cut_all = [(roc_auc(ano, res.per_round_scores[r]),
+                average_precision(ano, res.per_round_scores[r]))
+               for r in range(cutting)]
+    # flatten loss history to the reference's print order:
+    # member-major, epoch-minor (tam.py trains members sequentially)
+    n_members = res.member_messages.shape[0]
+    eps = sorted(res.loss_history)
+    flat_losses = [float(res.loss_history[ep][m])
+                   for m in range(n_members) for ep in eps]
+    return {"losses": flat_losses, "member_aucs": member_aucs,
+            "cut_test": cut_test, "cut_all": cut_all}
+
+
 def parse_reference_stdout(text: str) -> dict:
     """Parse run.py's printed losses (every 2 epochs, run.py:217-229) and
     test AUROC/AP (every 10 epochs, run.py:230-240)."""
@@ -338,8 +492,10 @@ def main():
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--lr", type=float, default=1e-3)
     ap.add_argument("--out", default=os.path.join(REPO, "ORACLE.json"))
-    ap.add_argument("--leg", choices=["ggad", "ocgnn", "both"],
-                    default="both")
+    ap.add_argument("--leg", choices=["ggad", "ocgnn", "tam", "all",
+                                      "both"],
+                    default="all")
+    ap.add_argument("--tam_cutting", type=int, default=8)
     args = ap.parse_args()
 
     from ggad_tpu.datasets.synthetic import synthetic_gad
@@ -349,10 +505,46 @@ def main():
                        anomaly_rate=0.1, seed=args.seed)
 
     ocgnn_record = None
+    tam_record = None
     with tempfile.TemporaryDirectory() as tmp:
         os.makedirs(os.path.join(tmp, "dataset"), exist_ok=True)
         export_mat(ds, os.path.join(tmp, "dataset", "oraclesynth.mat"))
-        if args.leg in ("ocgnn", "both"):
+        os.makedirs(os.path.join(tmp, "data"), exist_ok=True)
+        export_mat(ds, os.path.join(tmp, "data", "oraclesynth.mat"))
+        if args.leg in ("tam", "all"):
+            print(f"[oracle] running reference tam.py: N={args.nodes} "
+                  f"cutting={args.tam_cutting} (500 epochs/member, "
+                  f"hardcoded)")
+            tref = run_reference_tam("oraclesynth", tmp,
+                                     cutting=args.tam_cutting,
+                                     seed=args.seed)
+            tours = run_ours_tam(tref, cutting=args.tam_cutting)
+            rl, ol = tref["trajectory"]["losses"], tours["losses"]
+            n = min(len(rl), len(ol))
+            dmax = max(abs(a - b) / max(abs(a), 1.0)
+                       for a, b in zip(rl[:n], ol[:n])) if n else None
+            print(f"[tam] {n} per-member loss points, max rel |Δ| "
+                  f"{dmax:.2e}")
+            # reference AUC print order per cut: members, test, all
+            raucs = tref["trajectory"]["aucs"]
+            i = 0
+            for c in range(args.tam_cutting):
+                mem = raucs[i]; i += 1
+                test = raucs[i]; i += 1
+                alln = raucs[i]; i += 1
+                print(f"[tam] cut {c}: member AUC ref {mem:.4f} ours "
+                      f"{tours['member_aucs'][c]:.4f} | test ref "
+                      f"{test:.4f} ours {tours['cut_test'][c][0]:.4f} | "
+                      f"all ref {alln:.4f} ours "
+                      f"{tours['cut_all'][c][0]:.4f}")
+            tam_record = {"reference": tref["trajectory"], "ours": tours,
+                          "max_loss_rel_diff": dmax}
+        if args.leg == "tam":
+            with open(args.out, "w") as f:
+                json.dump({"tam": tam_record}, f, indent=1, default=float)
+            print(f"[oracle] wrote {args.out}")
+            return
+        if args.leg in ("ocgnn", "both", "all"):
             oc_epochs = min(args.epochs, 30)
             print(f"[oracle] running reference ocgnn.py: N={args.nodes} "
                   f"epochs={oc_epochs}")
@@ -417,6 +609,7 @@ def main():
         "ours": {"losses": ours["losses"], "evals": ours["evals"]},
         "diffs": diffs,
         "ocgnn": ocgnn_record,
+        "tam": tam_record,
     }
     with open(args.out, "w") as f:
         json.dump(record, f, indent=1, default=float)
