@@ -49,6 +49,8 @@ class MiniBatchResult:
     test_metrics: dict
     history: list
     wall_time_s: float
+    train_time_s: float = 0.0   # device train dispatches only (no eval
+                                # sweeps / host batch draws / ckpt)
 
 
 @dataclasses.dataclass
@@ -252,6 +254,7 @@ class MiniBatchTrainer:
         best_params = params
         history = []
         t0 = time.time()
+        t_train = 0.0
 
         for epoch in range(self.num_epochs):
             # host draws all the epoch's batch ids; the device runs the
@@ -266,9 +269,12 @@ class MiniBatchTrainer:
             batches = self._shard_batches(jnp.asarray(
                 np.concatenate([train_ids, anom_ids], axis=1), jnp.int32))
             rng, step_rng = jax.random.split(rng)
+            ts = time.time()
             params, opt_state, losses = self._train_epoch(
                 params, opt_state, batches, step_rng, self.feats,
                 self.table)
+            jax.block_until_ready(losses.total)
+            t_train += time.time() - ts
 
             rec = {"epoch": epoch, "loss": float(losses.total),
                    "loss_cls": float(losses.cls),
@@ -296,4 +302,4 @@ class MiniBatchTrainer:
         return MiniBatchResult(
             params=params, best_params=best_params, best_val_auc=best_auc,
             best_epoch=best_epoch, test_metrics=test, history=history,
-            wall_time_s=time.time() - t0)
+            wall_time_s=time.time() - t0, train_time_s=t_train)

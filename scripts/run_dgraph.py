@@ -95,6 +95,9 @@ def main():
         "scale": args.scale,
         "steps": steps,
         "steps_per_s": round(steps / res.wall_time_s, 2),
+        "train_steps_per_s": round(
+            steps / max(res.train_time_s, 1e-9), 2),
+        "train_time_s": round(res.train_time_s, 1),
         "best_val_auc": round(res.best_val_auc, 4),
         "test_auc": round(res.test_metrics["auc"], 4),
         "test_ap": round(res.test_metrics["ap"], 4),
