@@ -56,6 +56,10 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--spmm_dtype", default="bfloat16")
     ap.add_argument("--k", type=int, default=20)
+    ap.add_argument("--graph", default="photo",
+                    choices=["photo", "amazon", "elliptic"],
+                    help="graph regime (amazon: dense BCSR; elliptic: "
+                         "sparse → ELL auto-route)")
     args = ap.parse_args()
 
     import jax
@@ -68,12 +72,22 @@ def main():
     from ggad_tpu.ops.spmm import spmm
     from ggad_tpu.train.full_batch import FullBatchTrainer, maybe_bcsr
 
-    ds = synthetic_gad(name="ablate", n_nodes=7535, avg_degree=31,
-                       feat_dim=745, n_communities=8, anomaly_rate=0.09,
-                       seed=0, seed_frac=0.15)
+    if args.graph == "photo":
+        ds = synthetic_gad(name="ablate", n_nodes=7535, avg_degree=31,
+                           feat_dim=745, n_communities=8,
+                           anomaly_rate=0.09, seed=0, seed_frac=0.15)
+    else:
+        from ggad_tpu.datasets.synthetic import synthetic_like
+        ds = synthetic_like(
+            {"amazon": "Amazon", "elliptic": "elliptic"}[args.graph],
+            seed=0)
     adj_g, raw_g = normalize_adj_reference(from_scipy(ds.adj))
-    adj = maybe_bcsr(adj_g, "pallas", dtype=args.spmm_dtype)
-    raw = maybe_bcsr(raw_g, "pallas", dtype=args.spmm_dtype)
+    # 'auto' routes exactly like the trainer (elliptic → ELL tables)
+    adj = maybe_bcsr(adj_g, "auto", dtype=args.spmm_dtype)
+    raw = maybe_bcsr(raw_g, "auto", dtype=args.spmm_dtype)
+    print(json.dumps({"graph": args.graph, "n": int(ds.n_nodes),
+                      "e": int(ds.n_edges),
+                      "adj_repr": type(adj).__name__}), flush=True)
     h = jnp.asarray(np.random.default_rng(0).normal(
         size=(ds.n_nodes, 300)).astype(np.float32))
 
