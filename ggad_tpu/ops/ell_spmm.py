@@ -5,14 +5,16 @@ adjacency tiles are dense; graphs like elliptic (~1.5 edges per occupied
 tile, reference ``README.md:56``) fall back to XLA gather + ``segment_sum``
 whose scatter-add dominates. This path removes the scatter entirely:
 
-    pad each row's neighbor list to K slots → idx/val tables [N, K]
-    out[n] = Σ_k val[n, k] · x[idx[n, k]]
+    pad each row's neighbor list to K slots → idx/val tables [K, N]
+    out[n] = Σ_k val[k, n] · x[idx[k, n]]
 
 computed as K fused gather-multiply-accumulate sweeps (no [N, K, d]
-intermediate, no scatter — each output row is accumulated locally). Rows
-longer than K spill their tail edges to an overflow COO handled by the
-ordinary segment path (power-law hubs would otherwise blow up K for
-everyone). K is chosen per graph to cover ≥ ``coverage`` of edges.
+intermediate, no scatter — each output row is accumulated locally).
+Tables are SLOT-MAJOR so each sweep's index vector is contiguous (a
+strided column slice feeds TPU gathers ~300× slower). Rows longer than
+K spill their tail edges to an overflow COO handled by the ordinary
+segment path (power-law hubs would otherwise blow up K for everyone).
+K is chosen per graph by a sweep-vs-spill cost model (see _pick_k).
 
 The same tables evaluate the affinity-loss numerator (the column sums of
 A ∘ (N Nᵀ), reference ``run.py:182-188``) scatter-free via the transposed
@@ -45,8 +47,13 @@ def _round_up(x: int, m: int) -> int:
 class ELL:
     """Padded neighbor table (+ COO overflow) for one matrix orientation."""
 
-    idx: jax.Array      # [N, K] int32 neighbor ids (0 on padding slots)
-    val: jax.Array      # [N, K] float32 edge weights (0 on padding)
+    idx: jax.Array      # [K, N] int32 neighbor ids (0 on padding slots).
+                        # SLOT-MAJOR: each sweep k reads the CONTIGUOUS
+                        # [N] vector idx[k] — feeding a TPU gather a
+                        # strided column slice of a row-major [N, K]
+                        # table lowers ~300x slower (round-4 micro:
+                        # 27 ms vs 0.09 ms for one [46K]-row gather)
+    val: jax.Array      # [K, N] float32 edge weights (0 on padding)
     ov_row: jax.Array   # [E_ov_pad] int32 overflow edges (sorted by row)
     ov_col: jax.Array   # [E_ov_pad] int32
     ov_val: jax.Array   # [E_ov_pad] float32 (0 on padding)
@@ -54,22 +61,43 @@ class ELL:
 
     @property
     def k(self) -> int:
-        return self.idx.shape[1]
+        return self.idx.shape[0]
 
     @property
     def n_overflow(self) -> int:
         return self.ov_row.shape[0]
 
 
-def _pick_k(degrees: np.ndarray, coverage: float, k_max: int) -> int:
-    """Smallest multiple of 8 covering ≥ coverage of edges, capped."""
+def _pick_k(degrees: np.ndarray, coverage: float, k_max: int,
+            spill_weight: float = 3.0) -> int:
+    """Cost-model K: minimize ``K·N + spill(K)·spill_weight``.
+
+    Every slot sweep streams the [N, d] f32 accumulator in and out plus
+    the gathered rows — cost ∝ K·N regardless of padding occupancy — so
+    chasing edge coverage overpays on low-mean/high-p99 degree graphs
+    (elliptic: mean 5.2, p99 12 → the old ≥98%-coverage rule picked
+    K=16 with 74% padded slots; K=8 spills 4% of edges to the overflow
+    segment path and halves the sweep traffic — measured 6.6 → 3.7 ms,
+    round-4 study). An overflow edge costs ~``spill_weight`` slot
+    equivalents (gather + scatter-add vs a slot's gather + local acc).
+    ``coverage`` only bounds the candidate search (the scan stops once
+    a candidate covers >= coverage of edges; taller K would trade the
+    remaining <=(1-coverage) of edges against K*N slot traffic, a loss
+    on every ELL-routed graph).
+    """
     if degrees.size == 0 or degrees.max() == 0:
         return 8
+    n = degrees.size
     total = degrees.sum()
-    for k in range(8, k_max + 1, 8):
+    best_k, best_cost = None, None
+    for k in range(4, k_max + 1, 4):
+        spill = int(np.maximum(degrees - k, 0).sum())
+        cost = k * n + spill_weight * spill
+        if best_cost is None or cost < best_cost:
+            best_k, best_cost = k, cost
         if np.minimum(degrees, k).sum() >= coverage * total:
-            return k
-    return k_max
+            break  # candidates above the coverage floor can only add K·N
+    return best_k
 
 
 def _ell_layout(row, col, n_rows, k=None, coverage=0.98, k_max=64):
@@ -128,8 +156,8 @@ def ell_from_coo(row: np.ndarray, col: np.ndarray, val: np.ndarray,
         # indices_are_sorted promise actually holds
         ov_row[n_ov:] = ov_row[n_ov - 1]
 
-    return ELL(idx=jnp.asarray(idx),
-               val=jnp.asarray(ell_val).astype(jnp.dtype(dtype)),
+    return ELL(idx=jnp.asarray(idx.T.copy()),
+               val=jnp.asarray(ell_val.T.copy()).astype(jnp.dtype(dtype)),
                ov_row=jnp.asarray(ov_row), ov_col=jnp.asarray(ov_col),
                ov_val=jnp.asarray(ov_val), n_rows=int(n_rows))
 
@@ -144,15 +172,15 @@ class ELLValueMap:
     ``utils_tam.py:222-240``), the ELL tables can be shared and only the
     value planes rebuilt per member:
 
-        ell_val = where(slot_mask, v[slot_map], 0)     # [N, K]
+        ell_val = where(slot_mask, v[slot_map], 0)     # [K, N] slot-major
         ov_val  = where(ov_mask,  v[ov_map],  0)       # [E_ov_pad]
 
     where ``v`` is the [E_pad] edge-value vector in the GRAPH's sorted
     edge order.
     """
 
-    slot_map: jax.Array   # [N, K] int32 edge index (0 where empty)
-    slot_mask: jax.Array  # [N, K] bool
+    slot_map: jax.Array   # [K, N] int32 edge index (0 where empty)
+    slot_mask: jax.Array  # [K, N] bool
     ov_map: jax.Array     # [E_ov_pad] int32
     ov_mask: jax.Array    # [E_ov_pad] bool
 
@@ -177,7 +205,8 @@ def ell_value_maps(row, col, n_rows: int, k: int,
     ov_map[:n_ov] = order[~in_ell]
     ov_mask[:n_ov] = True
     return ELLValueMap(
-        slot_map=jnp.asarray(slot_map), slot_mask=jnp.asarray(slot_mask),
+        slot_map=jnp.asarray(slot_map.T.copy()),
+        slot_mask=jnp.asarray(slot_mask.T.copy()),
         ov_map=jnp.asarray(ov_map), ov_mask=jnp.asarray(ov_mask))
 
 
@@ -219,11 +248,12 @@ def _ell_matmul(m: ELL, x: jax.Array) -> jax.Array:
     # sweeps into the traced program — compile-time risk at high K)
     def body(acc, slot):
         idx_s, val_s = slot
-        return acc + (xc[idx_s] * val_s[:, None]).astype(jnp.float32), None
+        rows = xc.at[idx_s].get(mode="promise_in_bounds")
+        return acc + (rows * val_s[:, None]).astype(jnp.float32), None
 
     out, _ = jax.lax.scan(
         body, jnp.zeros((m.n_rows, x.shape[1]), jnp.float32),
-        (m.idx.T, m.val.T))
+        (m.idx, m.val))
     if m.n_overflow:
         gathered = x[m.ov_col] * m.ov_val[:, None]
         out = out + jax.ops.segment_sum(
@@ -256,12 +286,13 @@ def _ell_colsum_raw(m_t: ELL, emb_n: jax.Array) -> jax.Array:
 
     def body(num, slot):
         idx_s, val_s = slot
+        rows = ec.at[idx_s].get(mode="promise_in_bounds")
         return num + val_s.astype(jnp.float32) * jnp.einsum(
-            "nd,nd->n", ec[idx_s], ec,
+            "nd,nd->n", rows, ec,
             preferred_element_type=jnp.float32), None
 
     num, _ = jax.lax.scan(body, jnp.zeros((m_t.n_rows,), jnp.float32),
-                          (m_t.idx.T, m_t.val.T))
+                          (m_t.idx, m_t.val))
     if m_t.n_overflow:
         # overflow edges of Aᵀ: (row=j, col=i) pairs
         cos = jnp.einsum("ed,ed->e", emb_n[m_t.ov_col], emb_n[m_t.ov_row],

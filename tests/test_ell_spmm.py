@@ -40,10 +40,11 @@ def test_ell_structure_roundtrip(rng):
     e = as_ell_graph(from_scipy(mat))
     t = e.tables.fwd
     dense = np.zeros((160, 160), np.float32)
+    # tables are slot-major [K, N] (contiguous per-sweep index vectors)
     idx, val = np.asarray(t.idx), np.asarray(t.val)
     for r in range(160):
         for s in range(t.k):
-            dense[r, idx[r, s]] += val[r, s]
+            dense[r, idx[s, r]] += val[s, r]
     ovr, ovc, ovv = (np.asarray(t.ov_row), np.asarray(t.ov_col),
                      np.asarray(t.ov_val))
     np.add.at(dense, (ovr, ovc), ovv)
