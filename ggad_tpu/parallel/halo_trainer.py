@@ -319,12 +319,16 @@ def prepare_halo(dataset, mesh: Mesh, axis: str = "nodes",
         mesh, axis)
     tiles = raw_tiles = None
     if spmm_impl == "pallas":
-        tiles = place_halo_bcsr(
-            build_halo_bcsr(part, plan_host, dtype=spmm_dtype), mesh,
-            axis)
-        raw_tiles = place_halo_bcsr(
-            build_halo_bcsr(raw_part, raw_plan_host, dtype=spmm_dtype),
-            mesh, axis)
+        # build_halo_bcsr returns None when the tile store would blow
+        # the host/device memory budget (tile-sparse huge shards) — the
+        # XLA gather/segment path is the right one there anyway
+        tiles_host = build_halo_bcsr(part, plan_host, dtype=spmm_dtype)
+        raw_host = (build_halo_bcsr(raw_part, raw_plan_host,
+                                    dtype=spmm_dtype)
+                    if tiles_host is not None else None)
+        if tiles_host is not None and raw_host is not None:
+            tiles = place_halo_bcsr(tiles_host, mesh, axis)
+            raw_tiles = place_halo_bcsr(raw_host, mesh, axis)
     plan = place_halo_plan(plan_host, mesh, axis)
     raw_plan = place_halo_plan(raw_plan_host, mesh, axis)
     part = place_partition(part, mesh, axis)

@@ -566,7 +566,8 @@ class HaloBCSR:
 
 def build_halo_bcsr(part: EdgePartition, plan: HaloPlan,
                     dtype=np.float32,
-                    tile_rows: int | None = None) -> HaloBCSR:
+                    tile_rows: int | None = None,
+                    mem_budget_bytes: int = 8 << 30) -> HaloBCSR | None:
     """Host-side: per-shard rectangular BCSR of the remapped edge blocks
     (``dtype=bfloat16`` for the 1-pass MXU fast mode).
 
@@ -574,6 +575,12 @@ def build_halo_bcsr(part: EdgePartition, plan: HaloPlan,
     :func:`ggad_tpu.ops.pallas_spmm.pick_tile_rows` on the remapped
     coordinates — tall tiles cut the per-tile H slab traffic ∝ 1/height
     on tile-dense shards; see docs/PERF.md round 3).
+
+    Returns ``None`` when the four tile sets would exceed
+    ``mem_budget_bytes`` (tile-SPARSE huge shards: the 0.1×-DGraph
+    shard occupies ~1M tiles — a 256 GiB store at 1024-tall; callers
+    degrade to the XLA gather/segment path, which is also the faster
+    one in that occupancy regime).
     """
     from ggad_tpu.ops.pallas_spmm import (
         TILE,
@@ -587,14 +594,26 @@ def build_halo_bcsr(part: EdgePartition, plan: HaloPlan,
     cr = np.asarray(plan.col_remap).reshape(D, E)
     vv = np.asarray(part.val).reshape(D, E)
 
+    # occupancy over the per-shard remapped blocks: offset shard d's
+    # rows by d·R_pad so tiles never merge across shards
+    live = vv.reshape(-1) != 0
+    r_off = _round_up(R, 512)
+    rows_all = (rl + (np.arange(D) * r_off)[:, None]).reshape(-1)[live]
+    cols_all = cr.reshape(-1)[live]
     if tile_rows is None:
-        # occupancy heuristic over the per-shard remapped blocks: offset
-        # shard d's rows by d·R_pad so tiles never merge across shards
-        live = vv.reshape(-1) != 0
-        r_off = _round_up(R, 512)
-        rows_all = (rl + (np.arange(D) * r_off)[:, None]).reshape(-1)[live]
-        cols_all = cr.reshape(-1)[live]
         tile_rows = pick_tile_rows(rows_all, cols_all, D * r_off)
+    n_ct = _round_up(max(W, TILE), TILE) // TILE
+    occ = np.unique((rows_all // tile_rows).astype(np.int64) * n_ct
+                    + cols_all // TILE).shape[0]
+    itemsize = 2 if dtype in ("bfloat16", jnp.bfloat16) else 4
+    est_bytes = 4 * occ * tile_rows * TILE * itemsize  # 4 tile sets
+    if est_bytes > mem_budget_bytes:
+        import sys
+        print(f"[halo] BCSR tile store would need ~{est_bytes / 2**30:.0f}"
+              f" GiB ({occ} occupied tiles @ {tile_rows}-tall) — over the"
+              f" {mem_budget_bytes / 2**30:.0f} GiB budget; degrading to"
+              f" the XLA spmm path", file=sys.stderr, flush=True)
+        return None
 
     np_dtype = np.float32 if dtype in (np.float32, "float32") \
         else jnp.bfloat16
