@@ -251,9 +251,11 @@ def _ell_matmul(m: ELL, x: jax.Array) -> jax.Array:
         rows = xc.at[idx_s].get(mode="promise_in_bounds")
         return acc + (rows * val_s[:, None]).astype(jnp.float32), None
 
-    out, _ = jax.lax.scan(
-        body, jnp.zeros((m.n_rows, x.shape[1]), jnp.float32),
-        (m.idx, m.val))
+    # init derives from x so its varying-manual-axes type matches the
+    # body output under shard_map (the halo-sharded ELL path)
+    acc0 = jnp.zeros((m.n_rows, x.shape[1]), jnp.float32) \
+        + 0.0 * xc[0, 0].astype(jnp.float32)
+    out, _ = jax.lax.scan(body, acc0, (m.idx, m.val))
     if m.n_overflow:
         gathered = x[m.ov_col] * m.ov_val[:, None]
         out = out + jax.ops.segment_sum(
@@ -291,8 +293,9 @@ def _ell_colsum_raw(m_t: ELL, emb_n: jax.Array) -> jax.Array:
             "nd,nd->n", rows, ec,
             preferred_element_type=jnp.float32), None
 
-    num, _ = jax.lax.scan(body, jnp.zeros((m_t.n_rows,), jnp.float32),
-                          (m_t.idx, m_t.val))
+    num0 = jnp.zeros((m_t.n_rows,), jnp.float32) \
+        + 0.0 * ec[0, 0].astype(jnp.float32)
+    num, _ = jax.lax.scan(body, num0, (m_t.idx, m_t.val))
     if m_t.n_overflow:
         # overflow edges of Aᵀ: (row=j, col=i) pairs
         cos = jnp.einsum("ed,ed->e", emb_n[m_t.ov_col], emb_n[m_t.ov_row],

@@ -29,6 +29,7 @@ from ggad_tpu.parallel.spmm_shard import (
     EdgePartition,
     HaloAffinitySubset,
     HaloBCSR,
+    HaloELL,
     HaloPlan,
     HaloSeedRows,
     affinity_halo,
@@ -36,17 +37,20 @@ from ggad_tpu.parallel.spmm_shard import (
     affinity_halo_subset,
     build_halo_affinity_subset,
     build_halo_bcsr,
+    build_halo_ell,
     build_halo_plan,
     build_halo_seed_rows,
     pad_nodes,
     partition_edges,
     place_halo_affinity_subset,
     place_halo_bcsr,
+    place_halo_ell,
     place_halo_plan,
     place_halo_seed_rows,
     place_partition,
     spmm_halo,
     spmm_halo_bcsr,
+    spmm_halo_ell,
     spmm_halo_seed_rows,
 )
 from ggad_tpu.train.losses import GGADLosses, bce_with_logits
@@ -74,6 +78,7 @@ def halo_ggad_forward_and_losses(
     ax: jax.Array | None = None,
     seed_rows: HaloSeedRows | None = None,
     aff_sub: HaloAffinitySubset | None = None,
+    ells: HaloELL | None = None,
     confidence_margin: float = 0.7,
     pos_weight: float = 1.0,
 ) -> GGADLosses:
@@ -99,6 +104,8 @@ def halo_ggad_forward_and_losses(
     def halo_mm(h):
         if tiles is not None:
             return spmm_halo_bcsr(part, plan, tiles, h, mesh, axis)
+        if ells is not None:
+            return spmm_halo_ell(part, plan, ells, h, mesh, axis)
         return spmm_halo(part, plan, h, mesh, axis)
 
     def gcn(name, h, pre_agg=None):
@@ -175,6 +182,7 @@ def halo_ggad_eval_scores(
     axis: str = "nodes",
     tiles: HaloBCSR | None = None,
     ax: jax.Array | None = None,
+    ells: HaloELL | None = None,
 ) -> jax.Array:
     """Eval-mode forward: one-class logits for ALL nodes ([N_pad])
     (reference ``model.py:184-188``). ``ax``: precomputed ``Â @ x`` —
@@ -184,6 +192,8 @@ def halo_ggad_eval_scores(
     def halo_mm(h):
         if tiles is not None:
             return spmm_halo_bcsr(part, plan, tiles, h, mesh, axis)
+        if ells is not None:
+            return spmm_halo_ell(part, plan, ells, h, mesh, axis)
         return spmm_halo(part, plan, h, mesh, axis)
 
     def gcn(name, h, pre_agg=None):
@@ -223,7 +233,7 @@ def make_halo_train_step(
 
     def one_step(params, opt_state, key, part, plan, raw_part, raw_plan,
                  x_pad, seed_idx, normal_idx, tiles, raw_tiles, ax,
-                 seed_rows, aff_sub):
+                 seed_rows, aff_sub, ells):
         noise = (jax.random.normal(key, (seed_idx.shape[0], n_h))
                  * noise_std + noise_mean)
 
@@ -232,7 +242,7 @@ def make_halo_train_step(
                 p, part, plan, x_pad, seed_idx, normal_idx, noise,
                 raw_part, raw_plan, mesh, axis, tiles=tiles,
                 raw_tiles=raw_tiles, ax=ax, seed_rows=seed_rows,
-                aff_sub=aff_sub,
+                aff_sub=aff_sub, ells=ells,
                 confidence_margin=confidence_margin,
                 pos_weight=pos_weight)
             return losses.total, losses
@@ -245,19 +255,19 @@ def make_halo_train_step(
 
     def step(params, opt_state, rng, part, plan, raw_part, raw_plan,
              x_pad, seed_idx, normal_idx, tiles=None, raw_tiles=None,
-             ax=None, seed_rows=None, aff_sub=None):
+             ax=None, seed_rows=None, aff_sub=None, ells=None):
         if n_steps == 1:
             rng, key = jax.random.split(rng)
             return one_step(params, opt_state, key, part, plan, raw_part,
                             raw_plan, x_pad, seed_idx, normal_idx, tiles,
-                            raw_tiles, ax, seed_rows, aff_sub)
+                            raw_tiles, ax, seed_rows, aff_sub, ells)
 
         def body(carry, key):
             params, opt_state = carry
             params, opt_state, losses = one_step(
                 params, opt_state, key, part, plan, raw_part, raw_plan,
                 x_pad, seed_idx, normal_idx, tiles, raw_tiles, ax,
-                seed_rows, aff_sub)
+                seed_rows, aff_sub, ells)
             return (params, opt_state), losses
 
         keys = jax.random.split(rng, n_steps)
@@ -282,12 +292,14 @@ class HaloSetup:
     ax: jax.Array | None = None   # precomputed Â@x (hoisted layer 1)
     seed_rows: HaloSeedRows | None = None   # generator row-subgraph
     aff_sub: HaloAffinitySubset | None = None   # margin column subset
+    ells: HaloELL | None = None   # ELL local aggregation (sparse regime)
 
 
 def prepare_halo(dataset, mesh: Mesh, axis: str = "nodes",
                  spmm_impl: str = "xla",
                  spmm_dtype: str = "float32",
-                 schedule: str = "dense") -> HaloSetup:
+                 schedule: str = "dense",
+                 bcsr_budget_bytes: int = 8 << 30) -> HaloSetup:
     """Partition + plan both graphs of a GAD dataset and place on mesh.
 
     ``spmm_impl='pallas'`` also builds the per-shard BCSR tile sets so
@@ -317,18 +329,26 @@ def prepare_halo(dataset, mesh: Mesh, axis: str = "nodes",
             np.asarray(dataset.normal_label_idx, np.int64),
             np.asarray(dataset.abnormal_label_idx, np.int64)])),
         mesh, axis)
-    tiles = raw_tiles = None
+    tiles = raw_tiles = ells = None
     if spmm_impl == "pallas":
         # build_halo_bcsr returns None when the tile store would blow
-        # the host/device memory budget (tile-sparse huge shards) — the
-        # XLA gather/segment path is the right one there anyway
-        tiles_host = build_halo_bcsr(part, plan_host, dtype=spmm_dtype)
+        # the host/device memory budget (tile-sparse huge shards) — ELL
+        # is both feasible AND faster in that occupancy regime
+        tiles_host = build_halo_bcsr(part, plan_host, dtype=spmm_dtype,
+                                     mem_budget_bytes=bcsr_budget_bytes)
         raw_host = (build_halo_bcsr(raw_part, raw_plan_host,
-                                    dtype=spmm_dtype)
+                                    dtype=spmm_dtype,
+                                    mem_budget_bytes=bcsr_budget_bytes)
                     if tiles_host is not None else None)
         if tiles_host is not None and raw_host is not None:
             tiles = place_halo_bcsr(tiles_host, mesh, axis)
             raw_tiles = place_halo_bcsr(raw_host, mesh, axis)
+        else:
+            spmm_impl = "ell"
+    if spmm_impl == "ell":
+        ells = place_halo_ell(
+            build_halo_ell(part, plan_host, dtype=spmm_dtype), mesh,
+            axis)
     plan = place_halo_plan(plan_host, mesh, axis)
     raw_plan = place_halo_plan(raw_plan_host, mesh, axis)
     part = place_partition(part, mesh, axis)
@@ -345,6 +365,8 @@ def prepare_halo(dataset, mesh: Mesh, axis: str = "nodes",
     # halo SpMM now instead of one per step
     if spmm_impl == "pallas":
         ax = spmm_halo_bcsr(part, plan, tiles, x_pad, mesh, axis)
+    elif spmm_impl == "ell":
+        ax = spmm_halo_ell(part, plan, ells, x_pad, mesh, axis)
     else:
         ax = spmm_halo(part, plan, x_pad, mesh, axis)
     if n_dev == 1 and spmm_impl == "pallas" and spmm_dtype == "bfloat16":
@@ -355,7 +377,7 @@ def prepare_halo(dataset, mesh: Mesh, axis: str = "nodes",
         aff_sub = None
     return HaloSetup(part, plan, raw_part, raw_plan, x_pad, seed_idx,
                      normal_idx, tiles, raw_tiles, ax, seed_rows,
-                     aff_sub)
+                     aff_sub, ells)
 
 
 def halo_training_run(mesh: Mesh, dataset, *, n_h: int = 64,
@@ -395,6 +417,6 @@ def halo_training_run(mesh: Mesh, dataset, *, n_h: int = 64,
             params, opt_state, step_rng, setup.part, setup.plan,
             setup.raw_part, setup.raw_plan, setup.x_pad, setup.seed_idx,
             setup.normal_idx, setup.tiles, setup.raw_tiles, setup.ax,
-            setup.seed_rows, setup.aff_sub)
+            setup.seed_rows, setup.aff_sub, setup.ells)
     jax.block_until_ready(losses.total)
     return params, losses

@@ -37,7 +37,14 @@ class BaselineResult:
 
 
 def _prep(ds: GADDataset):
+    from ggad_tpu.train.full_batch import maybe_bcsr
+
     adj, raw = normalize_adj_reference(from_scipy(ds.adj))
+    # same kernel routing as the GGAD trainer: BCSR MXU tiles / ELL on
+    # TPU (f32-HIGHEST keeps the 1e-4 torch-parity envelope), plain
+    # Graph elsewhere — BCSRGraph/ELLGraph delegate row/col/val so the
+    # recon/affinity consumers are unaffected
+    adj = maybe_bcsr(adj, "auto")
     x = jnp.asarray(ds.features, jnp.float32)
     train_idx = jnp.asarray(ds.normal_label_idx, jnp.int32)
     return adj, raw, x, train_idx

@@ -266,7 +266,7 @@ class FullBatchTrainer:
                          setup.raw_part, setup.raw_plan, features,
                          seed_idx, normal_idx, setup.tiles,
                          setup.raw_tiles, setup.ax, setup.seed_rows,
-                         setup.aff_sub)
+                         setup.aff_sub, setup.ells)
 
         def train_scan(params, opt_state, rng, adj, raw_adj, features,
                        seed_idx, normal_idx, n_steps, seed_adj=None,
@@ -278,12 +278,12 @@ class FullBatchTrainer:
                 params, opt_state, rng, setup.part, setup.plan,
                 setup.raw_part, setup.raw_plan, features, seed_idx,
                 normal_idx, setup.tiles, setup.raw_tiles, setup.ax,
-                setup.seed_rows, setup.aff_sub)
+                setup.seed_rows, setup.aff_sub, setup.ells)
 
         eval_jit = jax.jit(
             lambda params, x_pad, ax: halo_ggad_eval_scores(
                 params, setup.part, setup.plan, x_pad, self.mesh,
-                tiles=setup.tiles, ax=ax))
+                tiles=setup.tiles, ax=ax, ells=setup.ells))
 
         def eval_scores(params, rng, adj, features, seed_idx,
                         normal_idx, ax=None):

@@ -136,7 +136,7 @@ def traced_collective_bytes(ds, d, n_h, schedule="dense",
                              setup.raw_part, setup.raw_plan, setup.x_pad,
                              setup.seed_idx, setup.normal_idx,
                              setup.tiles, setup.raw_tiles, setup.ax,
-                             setup.seed_rows, setup.aff_sub)
+                             setup.seed_rows, setup.aff_sub, setup.ells)
     )(params, opt_state, rng)
 
     COLLECTIVES = {"ppermute", "all_to_all", "psum", "psum_invariant",
@@ -214,7 +214,7 @@ def time_step(ds, d, n_h, iters=10, spmm_impl="xla",
             params, opt_state, key, setup.part, setup.plan,
             setup.raw_part, setup.raw_plan, setup.x_pad, setup.seed_idx,
             setup.normal_idx, setup.tiles, setup.raw_tiles, setup.ax,
-            setup.seed_rows, setup.aff_sub)
+            setup.seed_rows, setup.aff_sub, setup.ells)
         jax.block_until_ready(losses.total)
         return params, opt_state, rng, time.perf_counter() - t0
 

@@ -831,3 +831,114 @@ def test_spmm_halo_bcsr_tall_tiles(mesh, rng):
     g_t = np.asarray(jax.grad(f_tiles)(jnp.asarray(x)))
     g_s = np.asarray(jax.grad(f_single)(jnp.asarray(x)))
     np.testing.assert_allclose(g_t, g_s, rtol=1e-4, atol=1e-4)
+
+
+def test_halo_bcsr_budget_degrades_to_xla():
+    """Over-budget tile stores must degrade the pallas halo path to the
+    XLA spmm (round-4: forcing pallas on the 0.1x-DGraph shard tried to
+    allocate a 256 GiB tile store host-side)."""
+    import jax
+
+    from ggad_tpu.datasets.synthetic import synthetic_gad
+    from ggad_tpu.parallel.halo_trainer import halo_training_run
+    from ggad_tpu.parallel.mesh import make_mesh
+    from ggad_tpu.parallel.spmm_shard import (
+        build_halo_bcsr,
+        build_halo_plan,
+        partition_edges,
+    )
+    from ggad_tpu.graph import from_scipy
+    from ggad_tpu.ops.normalize import normalize_adj_reference
+
+    ds = synthetic_gad(n_nodes=200, avg_degree=6, feat_dim=8, seed=0)
+    adj, _ = normalize_adj_reference(from_scipy(ds.adj))
+    part = partition_edges(adj, 2)
+    plan = build_halo_plan(part)
+    assert build_halo_bcsr(part, plan, mem_budget_bytes=1) is None
+    assert build_halo_bcsr(part, plan) is not None
+
+    # end-to-end: prepare_halo with a tiny budget must still train
+    # (degraded) and produce the same loss as the XLA path
+    from ggad_tpu.parallel.halo_trainer import prepare_halo  # noqa: F401
+    mesh = make_mesh(min(2, len(jax.devices())), axis_names=("nodes",))
+    _, l_xla = halo_training_run(mesh, ds, n_h=8, n_steps=1,
+                                 spmm_impl="xla")
+    import ggad_tpu.parallel.halo_trainer as ht
+    orig = ht.prepare_halo
+
+    def tiny_budget(*a, **k):
+        k["bcsr_budget_bytes"] = 1
+        return orig(*a, **k)
+
+    ht.prepare_halo = tiny_budget
+    try:
+        _, l_deg = halo_training_run(mesh, ds, n_h=8, n_steps=1,
+                                     spmm_impl="pallas")
+    finally:
+        ht.prepare_halo = orig
+    assert abs(float(l_deg.total) - float(l_xla.total)) < 1e-5
+
+
+def test_spmm_halo_ell_matches_xla_and_grads():
+    """ELL halo local aggregation == XLA gather/segment halo path,
+    values and gradients (the sparse-regime distributed SpMM)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ggad_tpu.datasets.synthetic import synthetic_gad
+    from ggad_tpu.graph import from_scipy
+    from ggad_tpu.ops.normalize import normalize_adj_reference
+    from ggad_tpu.parallel.mesh import make_mesh
+    from ggad_tpu.parallel.spmm_shard import (
+        build_halo_ell,
+        build_halo_plan,
+        pad_nodes,
+        partition_edges,
+        place_halo_ell,
+        place_halo_plan,
+        place_partition,
+        spmm_halo,
+        spmm_halo_ell,
+    )
+
+    ds = synthetic_gad(n_nodes=300, avg_degree=7, feat_dim=12, seed=4)
+    adj, _ = normalize_adj_reference(from_scipy(ds.adj))
+    d = min(4, len(jax.devices()))
+    mesh = make_mesh(d, axis_names=("nodes",))
+    part_h = partition_edges(adj, d)
+    plan_h = build_halo_plan(part_h)
+    ells = place_halo_ell(build_halo_ell(part_h, plan_h), mesh)
+    plan = place_halo_plan(plan_h, mesh)
+    part = place_partition(part_h, mesh)
+    x = pad_nodes(jnp.asarray(
+        np.random.default_rng(0).normal(size=(300, 16)).astype(np.float32)),
+        part_h)
+
+    out_ell = np.asarray(spmm_halo_ell(part, plan, ells, x, mesh))
+    out_xla = np.asarray(spmm_halo(part, plan, x, mesh))
+    np.testing.assert_allclose(out_ell, out_xla, rtol=1e-4, atol=1e-5)
+
+    g_ell = jax.grad(lambda h: jnp.sum(
+        jnp.sin(spmm_halo_ell(part, plan, ells, h, mesh))))(x)
+    g_xla = jax.grad(lambda h: jnp.sum(
+        jnp.sin(spmm_halo(part, plan, h, mesh))))(x)
+    np.testing.assert_allclose(np.asarray(g_ell), np.asarray(g_xla),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_halo_training_run_ell_matches_xla():
+    """Full distributed GGAD step on the ELL local path == XLA path."""
+    import jax
+
+    from ggad_tpu.datasets.synthetic import synthetic_gad
+    from ggad_tpu.parallel.halo_trainer import halo_training_run
+    from ggad_tpu.parallel.mesh import make_mesh
+
+    ds = synthetic_gad(n_nodes=200, avg_degree=6, feat_dim=8, seed=1)
+    mesh = make_mesh(min(2, len(jax.devices())), axis_names=("nodes",))
+    _, l_xla = halo_training_run(mesh, ds, n_h=8, n_steps=2,
+                                 spmm_impl="xla")
+    _, l_ell = halo_training_run(mesh, ds, n_h=8, n_steps=2,
+                                 spmm_impl="ell")
+    assert abs(float(l_ell.total) - float(l_xla.total)) < 1e-5 * max(
+        1.0, abs(float(l_xla.total)))
