@@ -22,30 +22,32 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import numpy as np
 
 
-def timed_scan(fn, init, k, n_windows=3):
-    """Median per-iteration seconds of `carry = fn(carry)` via paired
-    K/2K scans."""
+def timed_scan(fn, init, k, *ops, n_windows=3):
+    """Median per-iteration seconds of `carry = fn(carry, *ops)` via
+    paired K/2K scans. ``ops`` (graphs/tiles/features) enter as jit
+    ARGUMENTS — closed-over tile stores ship with the remote-compile
+    payload (HTTP 413 at 1024-tall photo tiles)."""
     import jax
 
     def make(steps):
-        def run(c):
-            return jax.lax.scan(lambda c, _: (fn(c), None), c,
+        def run(c, *ops):
+            return jax.lax.scan(lambda c, _: (fn(c, *ops), None), c,
                                 None, length=steps)[0]
         return jax.jit(run)
 
     run_k, run_2k = make(k), make(2 * k)
-    c = run_k(init)
+    c = run_k(init, *ops)
     jax.block_until_ready(jax.tree.leaves(c)[0])
-    c = run_2k(c)
+    c = run_2k(c, *ops)
     jax.block_until_ready(jax.tree.leaves(c)[0])
     est = []
     for _ in range(n_windows):
         t0 = time.perf_counter()
-        c1 = run_k(init)
+        c1 = run_k(init, *ops)
         jax.block_until_ready(jax.tree.leaves(c1)[0])
         t1 = time.perf_counter() - t0
         t0 = time.perf_counter()
-        c2 = run_2k(init)
+        c2 = run_2k(init, *ops)
         jax.block_until_ready(jax.tree.leaves(c2)[0])
         t2 = time.perf_counter() - t0
         est.append(max((t2 - t1) / k, 1e-9))
@@ -95,19 +97,19 @@ def main():
 
     # SpMM forward (kernel)
     rows["spmm_fwd"] = timed_scan(
-        lambda c: spmm(adj, c) * 1e-3 + c * 0.5, h, args.k)
+        lambda c, a: spmm(a, c) * 1e-3 + c * 0.5, h, args.k, adj)
     # SpMM forward+backward
-    g_spmm = jax.grad(lambda c: jnp.sum(spmm(adj, c) ** 2) * 1e-6)
+    g_spmm = jax.grad(lambda c, a: jnp.sum(spmm(a, c) ** 2) * 1e-6)
     rows["spmm_fwd_bwd"] = timed_scan(
-        lambda c: g_spmm(c) * 1e-3 + c * 0.5, h, args.k)
+        lambda c, a: g_spmm(c, a) * 1e-3 + c * 0.5, h, args.k, adj)
     # affinity forward
     rows["affinity_fwd"] = timed_scan(
-        lambda c: c * 0.5 + jnp.mean(node_affinity(raw, c)) * 1e-3,
-        h, args.k)
+        lambda c, r: c * 0.5 + jnp.mean(node_affinity(r, c)) * 1e-3,
+        h, args.k, raw)
     # affinity forward+backward
-    g_aff = jax.grad(lambda c: jnp.sum(node_affinity(raw, c)) * 1e-6)
+    g_aff = jax.grad(lambda c, r: jnp.sum(node_affinity(r, c)) * 1e-6)
     rows["affinity_fwd_bwd"] = timed_scan(
-        lambda c: g_aff(c) * 1e-3 + c * 0.5, h, args.k)
+        lambda c, r: g_aff(c, r) * 1e-3 + c * 0.5, h, args.k, raw)
     # row normalize alone (elementwise + reduction)
     rows["l2_normalize"] = timed_scan(
         lambda c: l2_normalize_rows(c) * 0.5 + c * 0.5, h, args.k)
@@ -116,9 +118,10 @@ def main():
     from ggad_tpu.ops.sddmm import affinity_subset, node_affinity_at
     sub = affinity_subset(raw_g, np.concatenate(
         [ds.normal_label_idx, ds.abnormal_label_idx]))
-    g_sub = jax.grad(lambda c: jnp.sum(node_affinity_at(sub, c)) * 1e-6)
+    g_sub = jax.grad(
+        lambda c, sb: jnp.sum(node_affinity_at(sb, c)) * 1e-6)
     rows["affinity_subset_fwd_bwd"] = timed_scan(
-        lambda c: g_sub(c) * 1e-3 + c * 0.5, h, args.k)
+        lambda c, sb: g_sub(c, sb) * 1e-3 + c * 0.5, h, args.k, sub)
 
     # full training step for reference
     tr = FullBatchTrainer(ds, num_epoch=1, noise_mean=0.02,
@@ -127,16 +130,18 @@ def main():
     rng = jax.random.PRNGKey(0)
     params, opt_state = tr.init(rng)
 
-    def full(carry):
+    def full(carry, adj_t, raw_t, feats, seed_adj_t, aff_sub_t, ax_t):
         params, opt_state, key = carry
-        key, sub = jax.random.split(key)
+        key, sk = jax.random.split(key)
         params, opt_state, _ = tr._train_step_impl(
-            params, opt_state, sub, tr.adj, tr.raw_adj, tr.features,
-            tr.seed_idx, tr.normal_idx, tr.seed_adj, tr.aff_sub, tr.ax)
+            params, opt_state, sk, adj_t, raw_t, feats,
+            tr.seed_idx, tr.normal_idx, seed_adj_t, aff_sub_t, ax_t)
         return params, opt_state, key
 
     rows["full_step"] = timed_scan(full, (params, opt_state, rng),
-                                   args.k)
+                                   args.k, tr.adj, tr.raw_adj,
+                                   tr.features, tr.seed_adj, tr.aff_sub,
+                                   tr.ax)
 
     out = {k: round(v * 1e3, 3) for k, v in rows.items()}
     out["backend"] = jax.default_backend()
