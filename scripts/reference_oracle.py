@@ -377,6 +377,136 @@ def run_ours_tam(ref: dict, *, cutting: int, n_h: int = 128,
             "cut_test": cut_test, "cut_all": cut_all}
 
 
+def run_reference_minibatch(ds, workdir: str, *, num_epochs: int = 30,
+                            seed: int = 72) -> dict:
+    """Execute the reference's DGraph mini-batch path
+    (``src/main.py`` → ``ModelHandler`` → GCNAggregator/GCNEncoder/GCN)
+    unmodified on a synthetic dgraphfin-format dataset.
+
+    torch_geometric's ``GCNConv`` is imported but never used
+    (``src/graphsage.py:8``) — stubbed like dgl. Unlike the full-batch
+    legs, per-batch neighbor sampling consumes ``random`` state inside
+    the aggregators (``src/graphsage.py:66-78``), so trajectories are
+    NOT capturable; this leg compares at the METRIC level (final test
+    AUROC/AP on the captured split) plus the captured split itself.
+
+    NB quirk reproduced as-is: ``ModelHandler.train`` assigns
+    idx_valid = idx_test (``src/model_handler.py:260-261``) — "valid"
+    selection happens on the test split.
+    """
+    install_shims()
+    if "torch_geometric" not in sys.modules:
+        tg = types.ModuleType("torch_geometric")
+        tg.nn = types.ModuleType("torch_geometric.nn")
+        tg.nn.GCNConv = type("GCNConv", (), {})
+        sys.modules["torch_geometric"] = tg
+        sys.modules["torch_geometric.nn"] = tg.nn
+    src_dir = os.path.join(REFERENCE_DIR, "src")
+    # the src/ package reuses module NAMES from the reference root
+    # (utils, model) — purge any cached root-modules and front-load src
+    for name in ("utils", "model", "layers", "graphsage",
+                 "model_handler", "main"):
+        sys.modules.pop(name, None)
+    sys.path.insert(0, src_dir)
+
+    run_dir = os.path.join(workdir, "run")
+    os.makedirs(os.path.join(run_dir, "data"), exist_ok=True)
+    os.makedirs(os.path.join(run_dir, "pytorch_models"), exist_ok=True)
+    os.makedirs(os.path.join(workdir, "data"), exist_ok=True)
+    np.savez(os.path.join(workdir, "data", "dgraphfin.npz"),
+             x=np.asarray(ds.features, np.float32),
+             y=np.asarray(ds.ano_labels, np.int64))
+
+    import utils as src_utils          # /root/reference/src/utils.py
+    import model_handler as src_mh
+
+    # the reference's own offline prep builds the pickled adjacency list
+    # (adds self-loops + symmetrizes, src/utils.py:45-61)
+    src_utils.sparse_to_adjlist(
+        sp.csr_matrix(ds.adj),
+        os.path.join(run_dir, "data", "dgraphfin_adj_list"))
+
+    holder: dict = {}
+    orig_init = src_mh.ModelHandler.__init__
+
+    def init_rec(self, config):
+        orig_init(self, config)
+        holder["dataset"] = {
+            k: (np.asarray(v) if isinstance(v, (list, np.ndarray))
+                else v)
+            for k, v in self.dataset.items()
+            if k not in ("adj_lists", "homo", "feat_data")}
+
+    src_mh.ModelHandler.__init__ = init_rec
+
+    import yaml
+
+    cfg = {
+        "data_name": "dgraphfin", "data_dir": "./data/",
+        "train_ratio": 0.4, "test_ratio": 0.67,
+        "save_dir": "./pytorch_models/", "model": "GCN",
+        "multi_relation": "GNN", "emb_size": 64, "thres": 0.4,
+        "rho": 0.5, "seed": seed, "optimizer": "adam", "lr": 0.001,
+        "weight_decay": 0.007, "batch_size": 150,
+        "num_epochs": num_epochs, "valid_epochs": 5, "alpha": 2,
+        "no_cuda": True, "cuda_id": "0",
+    }
+    yml = os.path.join(run_dir, "oracle_dgraph.yml")
+    with open(yml, "w") as f:
+        yaml.safe_dump(cfg, f)
+
+    argv = ["main.py", "--config", yml]
+    buf = io.StringIO()
+    old_argv, old_cwd = sys.argv, os.getcwd()
+    try:
+        os.chdir(run_dir)
+        sys.argv = argv
+        import runpy
+
+        with contextlib.redirect_stdout(buf):
+            runpy.run_path(os.path.join(src_dir, "main.py"),
+                           run_name="__main__")
+    finally:
+        sys.argv = old_argv
+        os.chdir(old_cwd)
+        src_mh.ModelHandler.__init__ = orig_init
+    text = holder["stdout"] = buf.getvalue()
+    aucs = [float(m.group(1))
+            for m in re.finditer(r"AUC: ([\d.eE-]+)", text)]
+    aps = [float(m.group(1))
+           for m in re.finditer(r"Testing AP: ([\d.eE-]+)", text)]
+    # last AUC/AP lines are the restored-best final test (plus main()'s
+    # summary "AUC: {}" print)
+    holder["final_auc"] = aucs[-1] if aucs else None
+    holder["final_ap"] = aps[-1] if aps else None
+    return holder
+
+
+def run_ours_minibatch(ds, ref: dict, *, num_epochs: int = 30) -> dict:
+    """MiniBatchTrainer under the reference's captured split/labels
+    (including its pseudo-anomaly relabels + contamination)."""
+    from ggad_tpu.train.minibatch import MiniBatchTrainer
+
+    cap = ref["dataset"]
+    labels = np.asarray(cap["labels"]).ravel()
+    adj = sp.csr_matrix(ds.adj) + sp.eye(ds.adj.shape[0], format="csr",
+                                         dtype=np.float32)
+    tr = MiniBatchTrainer(
+        adj=adj, features=np.asarray(ds.features, np.float32),
+        labels=labels,
+        idx_train=np.asarray(cap["idx_train"], np.int64),
+        idx_anomaly=np.asarray(cap["idx_anomaly"], np.int64),
+        # reference quirk: valid == test (src/model_handler.py:260-261)
+        idx_valid=np.asarray(cap["idx_test"], np.int64),
+        idx_test=np.asarray(cap["idx_test"], np.int64),
+        emb_dim=64, num_epochs=num_epochs, num_batches=150,
+        valid_epochs=5)
+    res = tr.train()
+    return {"final_auc": res.test_metrics["auc"],
+            "final_ap": res.test_metrics["ap"],
+            "best_val_auc": res.best_val_auc}
+
+
 def parse_reference_stdout(text: str) -> dict:
     """Parse run.py's printed losses (every 2 epochs, run.py:217-229) and
     test AUROC/AP (every 10 epochs, run.py:230-240)."""
