@@ -223,6 +223,21 @@ def run_ours_ocgnn(ds, initial_params, *, epochs: int,
     return {"losses": losses, "evals": evals}
 
 
+def _stub_torch_geometric():
+    """Create or augment a torch_geometric stub with every class the
+    reference imports at module level but never executes (GINConv in
+    model_tam.py:266, GCNConv in src/graphsage.py:8)."""
+    tg = sys.modules.get("torch_geometric")
+    if tg is None:
+        tg = types.ModuleType("torch_geometric")
+        tg.nn = types.ModuleType("torch_geometric.nn")
+        sys.modules["torch_geometric"] = tg
+        sys.modules["torch_geometric.nn"] = tg.nn
+    for cls in ("GINConv", "GCNConv", "GATConv"):
+        if not hasattr(tg.nn, cls):
+            setattr(tg.nn, cls, type(cls, (), {}))
+
+
 def run_reference_tam(dataset: str, workdir: str, *, cutting: int = 8,
                       seed: int = 0) -> dict:
     """Run ``/root/reference/tam.py`` unmodified (torch-only; dgl and
@@ -237,12 +252,7 @@ def run_reference_tam(dataset: str, workdir: str, *, cutting: int = 8,
     Given those, training is deterministic.
     """
     install_shims()
-    if "torch_geometric" not in sys.modules:
-        tg = types.ModuleType("torch_geometric")
-        tg.nn = types.ModuleType("torch_geometric.nn")
-        tg.nn.GINConv = type("GINConv", (), {})
-        sys.modules["torch_geometric"] = tg
-        sys.modules["torch_geometric.nn"] = tg.nn
+    _stub_torch_geometric()
     if REFERENCE_DIR not in sys.path:
         sys.path.insert(0, REFERENCE_DIR)
     import model_tam as ref_model_tam
@@ -395,12 +405,7 @@ def run_reference_minibatch(ds, workdir: str, *, num_epochs: int = 30,
     selection happens on the test split.
     """
     install_shims()
-    if "torch_geometric" not in sys.modules:
-        tg = types.ModuleType("torch_geometric")
-        tg.nn = types.ModuleType("torch_geometric.nn")
-        tg.nn.GCNConv = type("GCNConv", (), {})
-        sys.modules["torch_geometric"] = tg
-        sys.modules["torch_geometric.nn"] = tg.nn
+    _stub_torch_geometric()
     src_dir = os.path.join(REFERENCE_DIR, "src")
     # the src/ package reuses module NAMES from the reference root
     # (utils, model) — purge any cached root-modules and front-load src
@@ -470,6 +475,14 @@ def run_reference_minibatch(ds, workdir: str, *, num_epochs: int = 30,
         sys.argv = old_argv
         os.chdir(old_cwd)
         src_mh.ModelHandler.__init__ = orig_init
+        # un-shadow: the src/ modules reuse root-reference module names
+        # (utils, model) — purge them and drop src from the path so the
+        # full-batch legs import the ROOT modules afterwards
+        for name in ("utils", "model", "layers", "graphsage",
+                     "model_handler", "main"):
+            sys.modules.pop(name, None)
+        if src_dir in sys.path:
+            sys.path.remove(src_dir)
     text = holder["stdout"] = buf.getvalue()
     aucs = [float(m.group(1))
             for m in re.finditer(r"AUC: ([\d.eE-]+)", text)]
@@ -622,8 +635,8 @@ def main():
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--lr", type=float, default=1e-3)
     ap.add_argument("--out", default=os.path.join(REPO, "ORACLE.json"))
-    ap.add_argument("--leg", choices=["ggad", "ocgnn", "tam", "all",
-                                      "both"],
+    ap.add_argument("--leg", choices=["ggad", "ocgnn", "tam", "minibatch",
+                                      "all", "both"],
                     default="all")
     ap.add_argument("--tam_cutting", type=int, default=8)
     args = ap.parse_args()
@@ -636,6 +649,33 @@ def main():
 
     ocgnn_record = None
     tam_record = None
+    minibatch_record = None
+    if args.leg in ("minibatch", "all"):
+        from ggad_tpu.datasets.synthetic import synthetic_gad as _sg
+
+        ds_mb = _sg(n_nodes=2500, avg_degree=12, feat_dim=17,
+                    n_communities=4, anomaly_rate=0.08,
+                    feature_noise=0.25, seed=2)
+        with tempfile.TemporaryDirectory() as tmp_mb:
+            print("[oracle] running reference src/main.py (minibatch "
+                  "GGAD): N=2500, 40 epochs x 150 batches")
+            mref = run_reference_minibatch(ds_mb, tmp_mb, num_epochs=40)
+        mours = run_ours_minibatch(ds_mb, mref, num_epochs=40)
+        print(f"[minibatch] final test AUROC ref {mref['final_auc']:.4f} "
+              f"ours {mours['final_auc']:.4f} | AP ref "
+              f"{mref['final_ap']:.4f} ours {mours['final_ap']:.4f} "
+              f"(metric-level: sampling RNG is independent)")
+        minibatch_record = {
+            "reference": {"final_auc": mref["final_auc"],
+                          "final_ap": mref["final_ap"]},
+            "ours": mours,
+        }
+        if args.leg == "minibatch":
+            with open(args.out, "w") as f:
+                json.dump({"minibatch": minibatch_record}, f, indent=1,
+                          default=float)
+            print(f"[oracle] wrote {args.out}")
+            return
     with tempfile.TemporaryDirectory() as tmp:
         os.makedirs(os.path.join(tmp, "dataset"), exist_ok=True)
         export_mat(ds, os.path.join(tmp, "dataset", "oraclesynth.mat"))
@@ -740,6 +780,7 @@ def main():
         "diffs": diffs,
         "ocgnn": ocgnn_record,
         "tam": tam_record,
+        "minibatch": minibatch_record,
     }
     with open(args.out, "w") as f:
         json.dump(record, f, indent=1, default=float)
