@@ -141,11 +141,74 @@ def affinity_subset(g: Graph, idx) -> AffinitySubset:
         den=jnp.asarray(den), n_uniq=len(uniq))
 
 
-def node_affinity_at(sub: AffinitySubset, emb: jax.Array) -> jax.Array:
+@jax.tree_util.register_dataclass
+@_dataclasses.dataclass(frozen=True)
+class TileAffinitySubset:
+    """Column-subset affinity on the MXU: rect BCSR tiles of
+    ``A[:, uniq]`` ([N × U], columns renumbered) driving
+    ``bcsr_sddmm_colsum_rect``.
+
+    Round-4 motivation: in bf16 tile mode the margin ran the FULL-column
+    tile SDDMM (+ its two-SpMM backward) although it reads ~U ≪ N nodes
+    — ~4 of the 7 ms amazon step. The subset tile set touches only the
+    occupied [N × U] tiles; identical values at the read nodes (tested),
+    both operands differentiable through the rect custom VJP.
+    """
+
+    pair: object          # pallas_spmm.BCSRPair (fwd [N×U], bwd [U×N])
+    uniq: jax.Array       # [U] unique subset node ids
+    gather: jax.Array     # [S] position of idx[k] in `uniq`
+    inv_den: jax.Array    # [U] 1/column-sum (0 where isolated)
+    n_uniq: int = _dataclasses.field(metadata=dict(static=True))
+
+
+def tile_affinity_subset(g: Graph, idx, *, dtype="float32",
+                         tile_rows: int | None = None) -> TileAffinitySubset:
+    """Host-side: rect-tile restriction of ``g`` to columns in ``idx``."""
+    import numpy as np
+
+    from ggad_tpu.ops.pallas_spmm import (
+        BCSRPair,
+        bcsr_rect_from_coo,
+        pick_tile_rows,
+    )
+
+    idx = np.asarray(idx, np.int64)
+    uniq, gather = np.unique(idx, return_inverse=True)
+    row = np.asarray(g.row)[: g.n_edges]
+    col = np.asarray(g.col)[: g.n_edges]
+    val = np.asarray(g.val)[: g.n_edges]
+    lookup = np.full(g.n_nodes, -1, np.int64)
+    lookup[uniq] = np.arange(len(uniq))
+    sel = lookup[col] >= 0
+    r, c, v = row[sel], lookup[col[sel]], val[sel].astype(np.float32)
+    den = np.zeros(len(uniq), np.float32)
+    np.add.at(den, c, v)
+    if tile_rows is None:
+        tile_rows = pick_tile_rows(r, c, g.n_nodes)
+    fwd = bcsr_rect_from_coo(r, c, v, g.n_nodes, len(uniq),
+                             dtype=dtype, tile_rows=tile_rows)
+    bwd = bcsr_rect_from_coo(c, r, v, len(uniq), g.n_nodes,
+                             dtype=dtype, tile_rows=tile_rows)
+    inv = np.where(den != 0, 1.0 / den, 0.0).astype(np.float32)
+    return TileAffinitySubset(
+        pair=BCSRPair(fwd=fwd, bwd=bwd, n_nodes=g.n_nodes),
+        uniq=jnp.asarray(uniq, jnp.int32),
+        gather=jnp.asarray(gather, jnp.int32),
+        inv_den=jnp.asarray(inv), n_uniq=len(uniq))
+
+
+def node_affinity_at(sub, emb: jax.Array) -> jax.Array:
     """affinity[k] for the k-th requested node — identical values to
-    ``node_affinity(g, emb)[idx]`` (tested), at O(E_sub·d)."""
+    ``node_affinity(g, emb)[idx]`` (tested), at O(E_sub·d) (edge
+    variant) or O(tiles_sub) on the MXU (tile variant)."""
     emb_n = l2_normalize_rows(emb)
     tgt = emb_n[sub.uniq]
+    if isinstance(sub, TileAffinitySubset):
+        from ggad_tpu.ops.pallas_sddmm import bcsr_sddmm_colsum_rect
+
+        num = bcsr_sddmm_colsum_rect(sub.pair, tgt, emb_n)
+        return (num * sub.inv_den)[sub.gather]
     cos = jnp.einsum("ed,ed->e", emb_n[sub.row], tgt[sub.col_local],
                      preferred_element_type=jnp.float32) * sub.val
     num = jax.ops.segment_sum(cos, sub.col_local,

@@ -173,12 +173,20 @@ class FullBatchTrainer:
         from ggad_tpu.ops.pallas_spmm import BCSRGraph
         if (isinstance(self.raw_adj, BCSRGraph)
                 and self.spmm_dtype == "bfloat16"):
-            # tall-tile bf16 SDDMM: the FULL affinity on the MXU now
-            # beats the edge-parallel subset restriction (ablation r3:
-            # 1.01 ms vs 2.55 ms fwd+bwd) — identical values at the
-            # read nodes either way. f32-HIGHEST tiles pay 6 MXU passes
-            # and stay on the subset path (measured slower otherwise).
-            self.aff_sub = None
+            # bf16 MXU margin path, round-4 edition: the margin reads
+            # only the labeled columns, so the SDDMM runs on the RECT
+            # tile set of raw[:, labeled] (TileAffinitySubset) — beats
+            # both the edge-parallel subset (r3: 2.55 ms) and the
+            # full-column tile SDDMM it replaced (≈4 of the 7 ms amazon
+            # step). Identical values at the read nodes (tested).
+            # f32-HIGHEST tiles pay 6 MXU passes and stay on the
+            # edge-parallel subset path (measured slower otherwise).
+            from ggad_tpu.ops.sddmm import tile_affinity_subset
+            self.aff_sub = tile_affinity_subset(
+                self.raw_adj, np.concatenate([
+                    np.asarray(ds.normal_label_idx, np.int64),
+                    np.asarray(ds.abnormal_label_idx, np.int64)]),
+                dtype=self.spmm_dtype)
         self.features = jnp.asarray(ds.features, dtype=jnp.float32)
         self.seed_idx = jnp.asarray(ds.abnormal_label_idx, dtype=jnp.int32)
         self.normal_idx = jnp.asarray(ds.normal_label_idx, dtype=jnp.int32)

@@ -465,9 +465,11 @@ def test_init_ggad_params_matches_full_init():
 
 
 def test_bf16_mode_routes_margin_through_tile_affinity():
-    """spmm_dtype=bfloat16 + BCSR drops the subset restriction (the
-    tall-tile SDDMM is faster); f32 keeps it. Losses stay close."""
+    """spmm_dtype=bfloat16 + BCSR routes the margin through the RECT
+    tile-subset SDDMM (round 4: the margin reads only labeled columns);
+    f32 keeps the edge-parallel subset. Losses stay close."""
     from ggad_tpu.datasets.synthetic import synthetic_gad
+    from ggad_tpu.ops.sddmm import AffinitySubset, TileAffinitySubset
     from ggad_tpu.train.full_batch import FullBatchTrainer
 
     ds = synthetic_gad(n_nodes=300, avg_degree=8, feat_dim=16, seed=5)
@@ -475,10 +477,10 @@ def test_bf16_mode_routes_margin_through_tile_affinity():
               eval_every=3, log_every=1, seed=0)
     tr16 = FullBatchTrainer(ds, spmm_impl="pallas",
                             spmm_dtype="bfloat16", **kw)
-    assert tr16.aff_sub is None          # tile-kernel affinity
+    assert isinstance(tr16.aff_sub, TileAffinitySubset)
     tr32 = FullBatchTrainer(ds, spmm_impl="pallas",
                             spmm_dtype="float32", **kw)
-    assert tr32.aff_sub is not None      # subset path kept
+    assert isinstance(tr32.aff_sub, AffinitySubset)
     r16 = tr16.train()
     r32 = tr32.train()
     l16 = [r["loss"] for r in r16.history if "loss" in r]

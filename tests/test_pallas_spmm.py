@@ -217,3 +217,33 @@ def test_bcsr_bf16_mode_close(rng):
     a = mat.toarray()
     eg = 2 * a.T @ (a @ np.asarray(x))
     assert np.abs(np.asarray(grad) - eg).max() < 0.05 * np.abs(eg).max()
+
+
+def test_tile_affinity_subset_matches_full(rng):
+    """Rect-tile column-subset affinity == full node_affinity at the
+    requested nodes, values AND gradients (interpret mode)."""
+    import jax
+
+    from ggad_tpu.graph import add_self_loops
+    from ggad_tpu.ops.sddmm import (
+        node_affinity,
+        node_affinity_at,
+        tile_affinity_subset,
+    )
+
+    mat = random_graph(260, seed=9)
+    raw = add_self_loops(from_scipy(mat))
+    idx = np.concatenate([np.arange(40), np.arange(10)])  # with repeats
+    sub = tile_affinity_subset(raw, idx)
+    emb = jnp.asarray(rng.normal(size=(260, 48)).astype(np.float32))
+
+    full = np.asarray(node_affinity(raw, emb))[idx]
+    at = np.asarray(node_affinity_at(sub, emb))
+    np.testing.assert_allclose(at, full, rtol=1e-4, atol=1e-5)
+
+    g_at = jax.grad(lambda e: jnp.sum(
+        jnp.sin(node_affinity_at(sub, e))))(emb)
+    g_full = jax.grad(lambda e: jnp.sum(
+        jnp.sin(node_affinity(raw, e)[jnp.asarray(idx)])))(emb)
+    np.testing.assert_allclose(np.asarray(g_at), np.asarray(g_full),
+                               rtol=1e-3, atol=1e-5)
