@@ -324,11 +324,9 @@ def prepare_halo(dataset, mesh: Mesh, axis: str = "nodes",
     seed_rows = place_halo_seed_rows(
         build_halo_seed_rows(part, dataset.abnormal_label_idx), mesh,
         axis)
-    aff_sub = place_halo_affinity_subset(
-        build_halo_affinity_subset(raw_part, np.concatenate([
-            np.asarray(dataset.normal_label_idx, np.int64),
-            np.asarray(dataset.abnormal_label_idx, np.int64)])),
-        mesh, axis)
+    labeled = np.concatenate([
+        np.asarray(dataset.normal_label_idx, np.int64),
+        np.asarray(dataset.abnormal_label_idx, np.int64)])
     tiles = raw_tiles = ells = None
     if spmm_impl == "pallas":
         # build_halo_bcsr returns None when the tile store would blow
@@ -349,6 +347,17 @@ def prepare_halo(dataset, mesh: Mesh, axis: str = "nodes",
         ells = place_halo_ell(
             build_halo_ell(part, plan_host, dtype=spmm_dtype), mesh,
             axis)
+    # margin subset: per-shard RECT tile sets in the BCSR regime (the
+    # local SDDMM numerator runs on the MXU — round-4 tile-subset
+    # margin); edge-parallel psums otherwise. U ≤ 64K guards the
+    # [R × U] tile store on huge labeled sets (DGraph: U ≈ 1M).
+    sub_dtype = (spmm_dtype if (tiles is not None
+                                and len(np.unique(labeled)) <= 65536)
+                 else None)
+    aff_sub = place_halo_affinity_subset(
+        build_halo_affinity_subset(raw_part, labeled,
+                                   tiles_dtype=sub_dtype),
+        mesh, axis)
     plan = place_halo_plan(plan_host, mesh, axis)
     raw_plan = place_halo_plan(raw_plan_host, mesh, axis)
     part = place_partition(part, mesh, axis)
@@ -369,12 +378,6 @@ def prepare_halo(dataset, mesh: Mesh, axis: str = "nodes",
         ax = spmm_halo_ell(part, plan, ells, x_pad, mesh, axis)
     else:
         ax = spmm_halo(part, plan, x_pad, mesh, axis)
-    if n_dev == 1 and spmm_impl == "pallas" and spmm_dtype == "bfloat16":
-        # one device = zero wire: the tall-tile bf16 SDDMM over ALL
-        # columns beats the edge-parallel subset psums (ablation r3);
-        # multi-device keeps the subset (its comm is two tiny psums
-        # instead of the full boundary exchange)
-        aff_sub = None
     return HaloSetup(part, plan, raw_part, raw_plan, x_pad, seed_idx,
                      normal_idx, tiles, raw_tiles, ax, seed_rows,
                      aff_sub, ells)

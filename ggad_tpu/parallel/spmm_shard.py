@@ -983,11 +983,33 @@ class HaloAffinitySubset:
     den: jax.Array        # [U] column-sum of val (affinity denominator)
     n_uniq: int = dataclasses.field(metadata=dict(static=True))
     e_sub: int = dataclasses.field(metadata=dict(static=True))
+    # optional per-shard RECT tile sets of the restricted [R × U] blocks
+    # (round 4): the local SDDMM numerator then runs on the MXU
+    # (bcsr_sddmm_colsum_rect) instead of the edge-parallel gather —
+    # the sharded counterpart of ops.sddmm.TileAffinitySubset.
+    t_fwd_rows: jax.Array | None = None   # [D·T]
+    t_fwd_cols: jax.Array | None = None
+    t_fwd_vals: jax.Array | None = None   # [D·T, tr, 128]
+    t_bwd_rows: jax.Array | None = None
+    t_bwd_cols: jax.Array | None = None
+    t_bwd_vals: jax.Array | None = None
+    f_row_pad: int = dataclasses.field(default=0,
+                                       metadata=dict(static=True))
+    f_col_pad: int = dataclasses.field(default=0,
+                                       metadata=dict(static=True))
+    b_row_pad: int = dataclasses.field(default=0,
+                                       metadata=dict(static=True))
+    b_col_pad: int = dataclasses.field(default=0,
+                                       metadata=dict(static=True))
 
 
-def build_halo_affinity_subset(part: EdgePartition,
-                               idx) -> HaloAffinitySubset:
-    """Host-side: restrict ``part``'s edges to columns in ``idx``."""
+def build_halo_affinity_subset(part: EdgePartition, idx,
+                               tiles_dtype=None) -> HaloAffinitySubset:
+    """Host-side: restrict ``part``'s edges to columns in ``idx``.
+
+    ``tiles_dtype``: also build per-shard rect BCSR tile sets of the
+    restricted blocks so the local numerator runs on the MXU
+    (``'bfloat16'`` for the 1-pass fast mode)."""
     D, E, R = part.n_shards, part.e_shard, part.rows_per_shard
     idx = np.asarray(idx, np.int64)
     uniq, gather = np.unique(idx, return_inverse=True)
@@ -1018,6 +1040,53 @@ def build_halo_affinity_subset(part: EdgePartition,
         cs[d, : len(c)] = c
         vs[d, : len(v)] = v
 
+    tile_kw: dict = {}
+    if tiles_dtype is not None:
+        from ggad_tpu.ops.pallas_spmm import (
+            TILE,
+            bcsr_rect_from_coo,
+            pick_tile_rows,
+        )
+
+        np_dtype = (jnp.bfloat16 if tiles_dtype in ("bfloat16",
+                                                    jnp.bfloat16)
+                    else np.float32)
+        r_off = _round_up(R, 1024)
+        rows_all = np.concatenate(
+            [b[0] + d * r_off for d, b in enumerate(blocks)])
+        cols_all = np.concatenate([b[1] for b in blocks])
+        tr = pick_tile_rows(rows_all, cols_all, D * r_off)
+        fwd = [bcsr_rect_from_coo(b[0], b[1], b[2], R, U,
+                                  dtype=np_dtype, tile_rows=tr)
+               for b in blocks]
+        bwd = [bcsr_rect_from_coo(b[1], b[0], b[2], U, R,
+                                  dtype=np_dtype, tile_rows=tr)
+               for b in blocks]
+
+        def stack(bl):
+            t_max = max(b.tile_rows.shape[0] for b in bl)
+            rr = np.zeros((D, t_max), np.int32)
+            cc2 = np.zeros((D, t_max), np.int32)
+            vv2 = np.zeros((D, t_max, tr, TILE), np_dtype)
+            for d, b in enumerate(bl):
+                t = b.tile_rows.shape[0]
+                rr[d, :t] = np.asarray(b.tile_rows)
+                cc2[d, :t] = np.asarray(b.tile_cols)
+                vv2[d, :t] = np.asarray(b.values)
+                rr[d, t:] = rr[d, t - 1]
+                cc2[d, t:] = cc2[d, t - 1]
+            return (jnp.asarray(rr.reshape(-1)),
+                    jnp.asarray(cc2.reshape(-1)),
+                    jnp.asarray(vv2.reshape(D * t_max, tr, TILE)))
+
+        fr, fc, fv = stack(fwd)
+        br, bc, bv = stack(bwd)
+        tile_kw = dict(
+            t_fwd_rows=fr, t_fwd_cols=fc, t_fwd_vals=fv,
+            t_bwd_rows=br, t_bwd_cols=bc, t_bwd_vals=bv,
+            f_row_pad=fwd[0].n_rows, f_col_pad=fwd[0].n_cols,
+            b_row_pad=bwd[0].n_rows, b_col_pad=bwd[0].n_cols)
+
     return HaloAffinitySubset(
         row_local=jnp.asarray(rs.reshape(-1)),
         col_sub=jnp.asarray(cs.reshape(-1)),
@@ -1025,13 +1094,18 @@ def build_halo_affinity_subset(part: EdgePartition,
         uniq=jnp.asarray(uniq, jnp.int32),
         gather=jnp.asarray(gather, jnp.int32),
         den=jnp.asarray(den),
-        n_uniq=U, e_sub=e_sub)
+        n_uniq=U, e_sub=e_sub, **tile_kw)
 
 
 def place_halo_affinity_subset(sub: HaloAffinitySubset, mesh: Mesh,
                                axis: str = "nodes") -> HaloAffinitySubset:
     sh = NamedSharding(mesh, P(axis))
     repl = NamedSharding(mesh, P())
+    tile_kw = {}
+    if sub.t_fwd_rows is not None:
+        tile_kw = {k: jax.device_put(getattr(sub, k), sh)
+                   for k in ("t_fwd_rows", "t_fwd_cols", "t_fwd_vals",
+                             "t_bwd_rows", "t_bwd_cols", "t_bwd_vals")}
     return dataclasses.replace(
         sub,
         row_local=jax.device_put(sub.row_local, sh),
@@ -1039,7 +1113,7 @@ def place_halo_affinity_subset(sub: HaloAffinitySubset, mesh: Mesh,
         val=jax.device_put(sub.val, sh),
         uniq=jax.device_put(sub.uniq, repl),
         gather=jax.device_put(sub.gather, repl),
-        den=jax.device_put(sub.den, repl))
+        den=jax.device_put(sub.den, repl), **tile_kw)
 
 
 def affinity_halo_subset(plan: HaloPlan, sub: HaloAffinitySubset,
@@ -1047,10 +1121,15 @@ def affinity_halo_subset(plan: HaloPlan, sub: HaloAffinitySubset,
                          axis: str = "nodes") -> jax.Array:
     """affinity[k] at the k-th requested node — identical values to the
     full ``affinity_halo(...)[idx]`` (tested), with two tiny ``psum``s
-    instead of the boundary exchange. Returns a replicated [S] vector."""
+    instead of the boundary exchange. Returns a replicated [S] vector.
+
+    When the subset carries per-shard rect tile sets
+    (``build_halo_affinity_subset(..., tiles_dtype=...)``) the local
+    numerator runs on the MXU (``bcsr_sddmm_colsum_rect``) instead of
+    the edge-parallel gather — the sharded tile-subset margin."""
     R, U = plan.rows_per_shard, sub.n_uniq
 
-    def local(row_local, col_sub, val, uniq, gather, den, emb_local):
+    def normalize_and_targets(uniq, emb_local):
         # zero-guard inside the sqrt (see affinity_halo)
         sq = jnp.sum(jnp.square(emb_local), axis=-1, keepdims=True)
         pos = sq > 0
@@ -1063,7 +1142,32 @@ def affinity_halo_subset(plan: HaloPlan, sub: HaloAffinitySubset,
         own = (loc >= 0) & (loc < R)
         tgt = jnp.where(own[:, None],
                         emb_n[jnp.clip(loc, 0, R - 1)], 0.0)
-        tgt = jax.lax.psum(tgt, axis)
+        return emb_n, jax.lax.psum(tgt, axis)
+
+    if sub.t_fwd_rows is not None:
+        def local_tiles(fr, fc, fv, br, bc, bv, uniq, gather, den,
+                        emb_local):
+            emb_n, tgt = normalize_and_targets(uniq, emb_local)
+            from ggad_tpu.ops.pallas_sddmm import bcsr_sddmm_colsum_rect
+
+            pair = _as_pair(fr, fc, fv, sub.f_row_pad, sub.f_col_pad,
+                            sub.b_row_pad, sub.b_col_pad, br, bc, bv, R)
+            num = jax.lax.psum(
+                bcsr_sddmm_colsum_rect(pair, tgt, emb_n), axis)
+            aff = num * jnp.where(den != 0, 1.0 / den, 0.0)
+            return aff[gather]
+
+        return jax.shard_map(
+            local_tiles, mesh=mesh,
+            in_specs=(P(axis),) * 6 + (P(), P(), P(), P(axis)),
+            out_specs=P(),
+            check_vma=False,   # pallas_call can't declare vma metadata
+        )(sub.t_fwd_rows, sub.t_fwd_cols, sub.t_fwd_vals,
+          sub.t_bwd_rows, sub.t_bwd_cols, sub.t_bwd_vals, sub.uniq,
+          sub.gather, sub.den, emb)
+
+    def local(row_local, col_sub, val, uniq, gather, den, emb_local):
+        emb_n, tgt = normalize_and_targets(uniq, emb_local)
         cos = jnp.einsum("ed,ed->e", emb_n[row_local], tgt[col_sub],
                          preferred_element_type=jnp.float32) * val
         num = jax.lax.psum(
