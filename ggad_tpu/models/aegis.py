@@ -3,11 +3,23 @@
 Reference (``model_AEGIS.py:126-240``, ``aegis.py:96-140``):
   * GCN autoencoder: enc (n_in→n_h→n_h), dec (n_h→n_h→n_in), AE loss =
     per-row L2 recon error over the training ids;
-  * MLP generator: noise(16)→64→n_in producing fake node features, encoded
-    with the same GCN encoder → z_gen;
-  * MLP discriminator2 (n_h→64→1, sigmoid activations) separates real (0)
-    from generated (1) embeddings;
-  * anomaly score = discriminator2(z) — the fake-probability of a node.
+  * PyG-``MLP`` generator: noise(16)→64→n_in producing fake node
+    features, encoded with the same GCN encoder → z_gen;
+  * PyG-``MLP`` discriminator2 (n_h→64→1, sigmoid hidden activation)
+    separates real (0) from generated (1) embeddings;
+  * anomaly score = sigmoid(discriminator2(z)) — the fake-probability of
+    a node, read from the CONCATENATED forward (see below).
+
+PyG 2.1.0 ``MLP`` defaults ``batch_norm=True`` (verified by EXECUTING
+the reference through :mod:`scripts.pyg_shim` /
+:mod:`scripts.reference_oracle`), so both MLPs contain a train-mode
+BatchNorm1d between the hidden Linear and its activation
+(:class:`PyGMLP`). That makes discriminator outputs batch-coupled: the
+reference calls ``discriminator2(cat([z, z_gen]))`` (BN statistics over
+2N rows — scores and loss_dis read from this) and separately
+``discriminator2(z_gen)`` (statistics over N rows — loss_g reads this),
+``model_AEGIS.py:215-220``. Both calls are materialized in
+:class:`AEGISOutput`.
 
 Training phases (reference ``aegis.py:118-140``): ``recon_num_epoch``
 epochs of AE pretraining, then an adversarial phase. NB the reference's
@@ -17,7 +29,8 @@ drives a gradient. The model exposes all three losses; the driver
 (``ggad_tpu.train.baselines.run_aegis``) implements the intended
 adversarial objective by default and a ``faithful=True`` mode
 reproducing the reference's effective behavior (loss_ae-in-dis-slot,
-missing pretrain zero_grad, double generator step) exactly.
+missing pretrain zero_grad, double generator step) exactly —
+executed-oracle-pinned in ``tests/test_reference_oracle.py``.
 """
 
 from __future__ import annotations
@@ -33,7 +46,17 @@ from ggad_tpu.nn.layers import GCNLayer
 from ggad_tpu.ops.dense_blocks import attr_row_error
 
 
-class MLP(nn.Module):
+class PyGMLP(nn.Module):
+    """2-layer MLP with torch_geometric 2.1.0 ``MLP`` semantics:
+    Linear → BatchNorm1d → act → Linear (hidden BN by default,
+    ``batch_norm=True``; final layer plain).
+
+    BatchNorm uses the batch statistics of the CURRENT input (train
+    mode, biased variance, eps 1e-5) — the reference drivers never score
+    in eval mode, so running statistics are never consumed and are not
+    tracked here.
+    """
+
     hidden: int
     out: int
     act: str = "relu"   # hidden/intermediate activation
@@ -41,17 +64,32 @@ class MLP(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         h = nn.Dense(self.hidden, name="lin1")(x)
+        scale = self.param("bn_scale", nn.initializers.ones,
+                           (self.hidden,), jnp.float32)
+        shift = self.param("bn_bias", nn.initializers.zeros,
+                           (self.hidden,), jnp.float32)
+        mean = jnp.mean(h, axis=0)
+        var = jnp.var(h, axis=0)           # biased, like torch BN
+        h = (h - mean) * jax.lax.rsqrt(var + 1e-5) * scale + shift
         h = jax.nn.relu(h) if self.act == "relu" else jax.nn.sigmoid(h)
         return nn.Dense(self.out, name="lin2")(h)
+
+
+# Backwards-compatible alias: the pre-oracle rounds exported a no-BN
+# ``MLP``; the executed reference proved BN is present, so the faithful
+# module is now the only implementation.
+MLP = PyGMLP
 
 
 class AEGISOutput(NamedTuple):
     z: jax.Array          # real embeddings [N, n_h]
     z_gen: jax.Array      # generated embeddings [N, n_h]
     x_dec: jax.Array      # decoded features [N, n_in]
-    prob_real: jax.Array  # sigmoid disc output on real [N]
-    prob_gen: jax.Array   # sigmoid disc output on generated [N]
-    prob_gen_detached: jax.Array  # disc output on stop_grad(z_gen) [N]
+    probs_all: jax.Array  # sigmoid disc on cat([z, z_gen]) [2N] — BN
+    #                       stats over 2N rows (model_AEGIS.py:215-219)
+    prob_gen: jax.Array   # sigmoid disc on z_gen alone [N] — BN stats
+    #                       over N rows (model_AEGIS.py:218-220)
+    probs_all_detached: jax.Array  # disc on stop_grad(cat) [2N]
 
 
 class AEGIS(nn.Module):
@@ -67,8 +105,10 @@ class AEGIS(nn.Module):
         enc2 = GCNLayer(self.n_h, act="prelu", name="gcn_enc2")
         dec1 = GCNLayer(self.n_h, act="prelu", name="gcn_dec1")
         dec2 = GCNLayer(n_in, act="prelu", name="gcn_dec2")
-        generator = MLP(self.hid_dim, n_in, act="relu", name="generator")
-        disc2 = MLP(self.hid_dim, 1, act="sigmoid", name="discriminator2")
+        generator = PyGMLP(self.hid_dim, n_in, act="relu",
+                           name="generator")
+        disc2 = PyGMLP(self.hid_dim, 1, act="sigmoid",
+                       name="discriminator2")
 
         if noise is None:
             noise = jax.random.normal(self.make_rng("noise"),
@@ -78,33 +118,48 @@ class AEGIS(nn.Module):
         z = enc2(adj, enc1(adj, x))
         x_dec = dec2(adj, dec1(adj, z))
 
-        prob_real = jax.nn.sigmoid(disc2(z))[:, 0]
+        emb_all = jnp.concatenate([z, z_gen], axis=0)
+        probs_all = jax.nn.sigmoid(disc2(emb_all))[:, 0]
         prob_gen = jax.nn.sigmoid(disc2(z_gen))[:, 0]
-        prob_gen_det = jax.nn.sigmoid(
-            disc2(jax.lax.stop_gradient(z_gen)))[:, 0]
-        return AEGISOutput(z, z_gen, x_dec, prob_real, prob_gen,
-                           prob_gen_det)
+        probs_all_det = jax.nn.sigmoid(
+            disc2(jax.lax.stop_gradient(emb_all)))[:, 0]
+        return AEGISOutput(z, z_gen, x_dec, probs_all, prob_gen,
+                           probs_all_det)
 
 
 def aegis_losses(out: AEGISOutput, x: jax.Array, train_idx: jax.Array):
-    """(loss_ae, loss_dis, loss_g) — reference ``model_AEGIS.py:215-233``."""
+    """(loss_ae, loss_dis, loss_g) — reference ``model_AEGIS.py:215-237``.
+
+    ``loss_g = BCE(sigmoid(disc2(z_gen)), 0)`` — the separate-forward
+    probabilities (BN over N generated rows), NOT detached: it drives
+    generator, encoder, and discriminator alike (the reference never
+    detaches it). ``loss_dis`` is the intended discriminator objective
+    (real→0 over the train rows, generated→1 over all rows of the
+    concatenated forward, inputs stop-gradded so only the discriminator
+    trains); the reference computes an analog and discards it
+    (``model_AEGIS.py:222-224,240``).
+    """
+    from ggad_tpu.ops.bce import bce_probs
+
+    n = x.shape[0]
     loss_ae = jnp.mean(attr_row_error(x, out.x_dec)[train_idx])
 
-    eps = 1e-7
-    p_real = jnp.clip(out.prob_real[train_idx], eps, 1 - eps)
-    p_gen = jnp.clip(out.prob_gen, eps, 1 - eps)
-    # discriminator: real → 0, generated → 1 (labels per reference); the
-    # fake sample enters through stop_grad(z_gen), so loss_dis trains the
-    # discriminator while the generator is driven only by loss_g
-    p_gen_d = jnp.clip(out.prob_gen_detached, eps, 1 - eps)
-    loss_dis = -(jnp.sum(jnp.log(1 - p_real)) + jnp.sum(jnp.log(p_gen_d))) \
-        / (p_real.shape[0] + p_gen_d.shape[0])
-    # generator: make generated look real (label 0)
-    loss_g = -jnp.mean(jnp.log(1 - p_gen))
+    # torch F.binary_cross_entropy semantics (log clamp -100, no prob
+    # clip) — see ggad_tpu.ops.bce
+    p_real_d = out.probs_all_detached[:n][train_idx]
+    p_gen_d = out.probs_all_detached[n:]
+    loss_dis = (jnp.sum(bce_probs(p_real_d, 0.0))
+                + jnp.sum(bce_probs(p_gen_d, 1.0))) \
+        / (p_real_d.shape[0] + p_gen_d.shape[0])
+    # generator objective: make generated look real (label 0)
+    loss_g = jnp.mean(bce_probs(out.prob_gen, 0.0))
     return loss_ae, loss_dis, loss_g
 
 
 def aegis_scores(out: AEGISOutput) -> jax.Array:
-    """Anomaly score = discriminator fake-probability of the real node
-    (reference ``model_AEGIS.py:237-239``)."""
-    return out.prob_real
+    """Anomaly score = discriminator fake-probability of the real nodes,
+    read from the concatenated forward (reference ``model_AEGIS.py:239``
+    scores ``logits[idx_test]`` where logits span ``cat([z, z_gen])``
+    and test ids index the first N rows)."""
+    n = out.z.shape[0]
+    return out.probs_all[:n]

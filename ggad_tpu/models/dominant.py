@@ -1,22 +1,32 @@
 """DOMINANT baseline (reconstruction-based AD).
 
 Reference adaptation (``model_domaint.py``, ``dominant.py``): a structure
-branch (Linear→ReLU→2-layer GCN) whose output is computed but *unused* for
-scoring (the structure reconstruction term is commented out,
+branch (Linear→ReLU→2-layer PyG ``GCN``) whose output is computed but
+*unused* for scoring (the structure reconstruction term is commented out,
 ``model_domaint.py:113-125``), and an attribute MLP autoencoder
 (dense_attr_1→ReLU→dense_attr_2) whose per-row L2 reconstruction error is
 both the training loss (over labeled normals) and the anomaly score.
 
+Because the structure branch neither contributes to the score nor
+receives a gradient, the reference trajectory depends ONLY on the
+attribute branch — confirmed by EXECUTING ``dominant.py`` through
+``scripts/reference_oracle.py`` (per-epoch loss parity).
+
 We reproduce that default (``structure_weight = 1.0`` ⇒ attribute-only)
 and additionally expose the structure term (blockwise, never N×N-resident)
-for the full DOMINANT objective. The reference's per-epoch O(N²) Python
-edge-list scan (``model_domaint.py:7-12``) has no equivalent here — the
-sparse graph is device-resident from load.
+for the full DOMINANT objective. Structure-branch faithfulness to PyG
+2.1.0's ``GCN(n_h, n_in, num_layers=2)`` (``model_domaint.py:90,147-151``):
+ReLU between the two convs, NO activation after the last, and GCNConv
+re-normalizes the BINARIZED graph (``gcn_norm``) regardless of the edge
+weights it is handed — pass ``gcn_adj=gcn_norm_graph(adj)`` for that
+(``ggad_tpu.train.baselines.run_reconstruction`` does). The reference's
+per-epoch O(N²) Python edge-list scan (``model_domaint.py:7-12``) has no
+equivalent here — the sparse graph is device-resident from load.
 """
 
 from __future__ import annotations
 
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import flax.linen as nn
 import jax
@@ -41,12 +51,15 @@ class Dominant(nn.Module):
     structure_weight: float = 1.0   # 1.0 = attr-only (reference default)
 
     @nn.compact
-    def __call__(self, adj: Graph, x: jax.Array) -> DominantOutput:
-        # structure branch: Linear+ReLU then 2 GCN layers (relu, like PyG
-        # GCN's default act) back to n_in dims
+    def __call__(self, adj: Graph, x: jax.Array,
+                 gcn_adj: Optional[Graph] = None) -> DominantOutput:
+        # structure branch: Linear+ReLU then PyG-style 2-layer GCN back
+        # to n_in dims (ReLU between convs only; ``gcn_adj`` should be
+        # the gcn_norm-re-normalized graph for PyG parity)
+        g = gcn_adj if gcn_adj is not None else adj
         h = jax.nn.relu(nn.Dense(self.n_h, name="dense_stru")(x))
-        h = GCNLayer(x.shape[-1], act="relu", name="gcn1")(adj, h)
-        emb = GCNLayer(x.shape[-1], act="relu", name="gcn2")(adj, h)
+        h = GCNLayer(x.shape[-1], act="relu", name="gcn1")(g, h)
+        emb = GCNLayer(x.shape[-1], act="none", name="gcn2")(g, h)
 
         # attribute branch: 2-layer MLP AE
         a = jax.nn.relu(nn.Dense(self.n_h, name="dense_attr_1")(x))

@@ -15,6 +15,14 @@ Reference (``model_gaan.py``, ``gaan.py``):
 Edge terms are computed edge-parallel over the sparse adjacency's edges
 restricted to rows in ``idx_train`` — the reference's Python double loop
 (``model_gaan.py:18-23``) becomes a boolean edge mask.
+
+Both MLPs are PyG-2.1.0-faithful (:class:`ggad_tpu.models.aegis.PyGMLP`):
+``torch_geometric.nn.MLP`` defaults ``batch_norm=True``, so generator and
+encoder each contain a train-mode BatchNorm1d between the hidden Linear
+and ReLU — verified by EXECUTING ``gaan.py`` through
+``scripts/reference_oracle.py``. The two encoder calls (real x,
+generated x_) are separate forwards with separate batch statistics,
+matching ``model_gaan.py:296-298``.
 """
 
 from __future__ import annotations
@@ -26,7 +34,7 @@ import jax
 import jax.numpy as jnp
 
 from ggad_tpu.graph import Graph
-from ggad_tpu.models.aegis import MLP
+from ggad_tpu.models.aegis import PyGMLP as MLP
 from ggad_tpu.ops.dense_blocks import attr_row_error
 
 
@@ -64,7 +72,15 @@ def train_edge_mask(g: Graph, train_mask_nodes: jax.Array) -> jax.Array:
 
 def gaan_losses(out: GAANOutput, g: Graph, x: jax.Array,
                 train_node_mask: jax.Array, train_idx: jax.Array):
-    """(loss_dis, loss_g). ``train_node_mask``: [N] bool."""
+    """(loss_dis, loss_g). ``train_node_mask``: [N] bool.
+
+    BCE terms use torch ``binary_cross_entropy`` semantics (log clamped
+    at -100, NO probability clipping — :func:`ggad_tpu.ops.bce.bce_probs`):
+    under discriminator saturation the reference's loss keeps growing at
+    100/edge, which an eps-clipped mirror silently caps (caught by the
+    executed ``gaan.py`` oracle leg)."""
+    from ggad_tpu.ops.bce import bce_probs
+
     emask = train_edge_mask(g, train_node_mask)
     w = emask.astype(jnp.float32)
     denom = jnp.maximum(jnp.sum(w), 1.0)
@@ -74,12 +90,10 @@ def gaan_losses(out: GAANOutput, g: Graph, x: jax.Array,
             jnp.einsum("ed,ed->e", z[g.row], z[g.col],
                        preferred_element_type=jnp.float32))
 
-    eps = 1e-7
-    a_real = jnp.clip(edge_sigmoid(out.z), eps, 1 - eps)
-    a_fake = jnp.clip(edge_sigmoid(jax.lax.stop_gradient(out.z_gen)),
-                      eps, 1 - eps)
-    loss_r = -jnp.sum(w * jnp.log(a_real)) / denom
-    loss_f = -jnp.sum(w * jnp.log(1 - a_fake)) / denom
+    a_real = edge_sigmoid(out.z)
+    a_fake = edge_sigmoid(jax.lax.stop_gradient(out.z_gen))
+    loss_r = jnp.sum(w * bce_probs(a_real, 1.0)) / denom
+    loss_f = jnp.sum(w * bce_probs(a_fake, 0.0)) / denom
     loss_dis = 0.5 * (loss_r + loss_f)
 
     loss_g = jnp.mean(attr_row_error(x, out.x_gen)[train_idx])

@@ -72,12 +72,26 @@ class MiniBatchRecon(nn.Module):
 
 
 class AEGISMbOutput(NamedTuple):
-    prob_real: jax.Array
-    prob_noise: jax.Array
-    prob_noise_detached: jax.Array
+    probs_all: jax.Array   # [2B] sigmoid disc over cat([z, z_noise]) —
+    #                        BN stats over 2B (src/graphsage_aegis.py:315-320)
+    prob_noise: jax.Array  # [B] sigmoid disc over z_noise alone
+
+    @property
+    def prob_real(self) -> jax.Array:
+        """Real-half fake-probabilities (the anomaly score,
+        ``src/utils.py:175-204``)."""
+        return self.probs_all[: self.prob_noise.shape[0]]
 
 
 class MiniBatchAEGIS(nn.Module):
+    """Faithful to the reference's PyG-MLP discriminator: the dis loss
+    and scores read ``disc(cat([z, z_noise]))`` (one forward, BN batch
+    statistics over 2B rows) while the generator loss reads
+    ``disc(z_noise)`` (separate forward) — ``src/graphsage_aegis.py:
+    315-321``. Nothing is detached: the single shared optimizer
+    backprops both losses through encoder and discriminator
+    (``src/model_handler_aegis.py:159-161``)."""
+
     emb_dim: int = 64
     fanout: int = 16
     hid_dim: int = 64
@@ -97,18 +111,20 @@ class MiniBatchAEGIS(nn.Module):
         agg_noise = masked_mean(noise_table[n1], m1, axis=1) * deg
         z = jax.nn.relu(agg_real @ w_enc)
         z_noise = jax.nn.relu(agg_noise @ w_enc)
-        p_real = jax.nn.sigmoid(disc(z))[:, 0]
+        emb_all = jnp.concatenate([z, z_noise], axis=0)
+        probs_all = jax.nn.sigmoid(disc(emb_all))[:, 0]
         p_noise = jax.nn.sigmoid(disc(z_noise))[:, 0]
-        p_noise_det = jax.nn.sigmoid(
-            disc(jax.lax.stop_gradient(z_noise)))[:, 0]
-        return AEGISMbOutput(p_real, p_noise, p_noise_det)
+        return AEGISMbOutput(probs_all, p_noise)
 
 
 def aegis_mb_losses(out: AEGISMbOutput):
-    eps = 1e-7
-    pr = jnp.clip(out.prob_real, eps, 1 - eps)
-    pn = jnp.clip(out.prob_noise_detached, eps, 1 - eps)
-    loss_dis = -(jnp.mean(jnp.log(1 - pr)) + jnp.mean(jnp.log(pn))) / 2
-    png = jnp.clip(out.prob_noise, eps, 1 - eps)
-    loss_g = -jnp.mean(jnp.log(1 - png))
+    """loss_dis = BCE(disc(cat), [0…0, 1…1]), loss_g = BCE(disc(z_noise),
+    0) — torch ``F.binary_cross_entropy`` semantics
+    (``src/graphsage_aegis.py:168-172``), neither detached."""
+    from ggad_tpu.ops.bce import bce_probs
+
+    b = out.prob_noise.shape[0]
+    labels = jnp.concatenate([jnp.zeros(b), jnp.ones(b)])
+    loss_dis = jnp.mean(bce_probs(out.probs_all, labels))
+    loss_g = jnp.mean(bce_probs(out.prob_noise, 0.0))
     return loss_dis, loss_g

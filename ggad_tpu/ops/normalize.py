@@ -47,6 +47,24 @@ def normalize_adj_reference(g: Graph) -> tuple[Graph, Graph]:
     return adj, raw_adj
 
 
+def gcn_norm_graph(g: Graph) -> Graph:
+    """PyG ``gcn_norm`` semantics (torch_geometric 2.1.0): unit edge
+    weights over the BINARIZED edge set, symmetric D^-1/2 B D^-1/2.
+
+    The reference's PyG-based baselines (DOMINANT's ``GCN`` stack,
+    ``model_domaint.py:90,168``) pass edge indices derived from the
+    already-normalized dense ``adj`` — GCNConv discards those weights
+    and re-normalizes the binarized graph. ``g`` must already carry
+    exactly one self-loop per node (true for the reference's
+    normalize-then-+I graph), matching ``add_remaining_self_loops``.
+    Padding edges (val == 0) stay zero.
+    """
+    valid = (g.val != 0).astype(jnp.float32)
+    deg = jax.ops.segment_sum(valid, g.col, num_segments=g.n_nodes)
+    dinv = jnp.where(deg > 0, jax.lax.rsqrt(deg), 0.0)
+    return g.with_val(valid * dinv[g.row] * dinv[g.col])
+
+
 def row_normalize_features(x: np.ndarray) -> np.ndarray:
     """D_x^{-1} X row normalization (reference ``utils.py:37-44``).
 

@@ -58,9 +58,7 @@ def score_dataset(checkpoint_dir: str, dataset, *,
         restored = ckpt.restore(template=template)
         params = jax.device_put(restored["params"])
 
-    scores = np.asarray(tr._eval_scores(
-        params, jax.random.PRNGKey(0), tr.adj, tr.features, tr.seed_idx,
-        tr.normal_idx))
+    scores = tr.eval_scores(params)
     idx = {"test": dataset.idx_test, "val": dataset.idx_val,
            "train": dataset.idx_train,
            "all": np.arange(dataset.n_nodes)}[subset]

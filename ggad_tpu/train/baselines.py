@@ -85,28 +85,41 @@ def run_reconstruction(model_name: str, ds: GADDataset, *,
                        num_epoch: int = 100, lr: float = 1e-3,
                        embedding_dim: int = 300, eval_every: int = 5,
                        seed: int = 0, verbose: bool = False,
-                       logger=None) -> BaselineResult:
+                       logger=None, initial_params=None) -> BaselineResult:
+    """``initial_params``: exact starting weights (reference-oracle
+    injection); replaces the seeded init."""
     from ggad_tpu.models.anomaly_dae import AnomalyDAE, anomaly_dae_loss
     from ggad_tpu.models.dominant import Dominant, dominant_loss
+    from ggad_tpu.ops.normalize import gcn_norm_graph
 
     adj, raw, x, train_idx = _prep(ds)
     if model_name == "dominant":
         model = Dominant(n_h=embedding_dim)
         loss_of = dominant_loss
+        # PyG GCNConv re-normalizes the binarized graph (gcn_norm) —
+        # the structure branch sees unit-weight sym-normalization, not
+        # the reference's normalize-then-+I weights. raw (= A + I, plain
+        # Graph) has the identical binarized structure as adj and avoids
+        # re-deriving from a BCSR-routed graph.
+        gcn_adj = gcn_norm_graph(raw)
     else:
         model = AnomalyDAE(n_h=embedding_dim)
         loss_of = anomaly_dae_loss
+        gcn_adj = None
 
-    params = model.init(jax.random.PRNGKey(seed), adj, x)
+    params = (jax.tree.map(jnp.asarray, initial_params)
+              if initial_params is not None
+              else model.init(jax.random.PRNGKey(seed), adj, x))
     tx = optax.adam(lr)
     opt_state = tx.init(params)
 
     # adj/x/train_idx enter as jit ARGUMENTS: closure constants would
     # ship with the remote-compile payload (HTTP 413 at t_finance scale).
     @jax.jit
-    def train_step(params, opt_state, adj, x, train_idx):
+    def train_step(params, opt_state, adj, gcn_adj, x, train_idx):
         def loss_fn(p):
-            out = model.apply(p, adj, x)
+            out = (model.apply(p, adj, x, gcn_adj=gcn_adj)
+                   if gcn_adj is not None else model.apply(p, adj, x))
             return loss_of(out, train_idx), out.scores
 
         (loss, scores), grads = jax.value_and_grad(
@@ -119,7 +132,7 @@ def run_reconstruction(model_name: str, ds: GADDataset, *,
 
     def step():
         state["params"], state["opt"], loss, scores = train_step(
-            state["params"], state["opt"], adj, x, train_idx)
+            state["params"], state["opt"], adj, gcn_adj, x, train_idx)
         state["scores"] = scores
         return loss
 
@@ -224,7 +237,8 @@ def run_aegis(ds: GADDataset, *, num_epoch: int = 100,
               recon_num_epoch: int = 10, lr: float = 1e-3,
               embedding_dim: int = 300, eval_every: int = 5, seed: int = 0,
               faithful: bool = False, verbose: bool = False,
-              logger=None) -> BaselineResult:
+              logger=None, initial_params=None,
+              noise_seq=None) -> BaselineResult:
     """AEGIS driver.
 
     ``faithful=False`` (default): the *intended* adversarial objective —
@@ -243,6 +257,12 @@ def run_aegis(ds: GADDataset, *, num_epoch: int = 100,
         true discriminator loss never drives a gradient;
       * the adversarial AE term uses ALL nodes (``aegis.py:133``), not
         the labeled normals.
+
+    ``initial_params``: exact starting weights (reference-oracle
+    injection). ``noise_seq``: per-epoch [N, noise_dim] noise draws to
+    replay (pretrain epochs first, then adversarial — the reference
+    consumes one ``torch.randn`` per forward, ``model_AEGIS.py:232``);
+    None draws fresh noise from the seeded stream.
     """
     from ggad_tpu.models.aegis import AEGIS, aegis_losses, aegis_scores
 
@@ -251,18 +271,33 @@ def run_aegis(ds: GADDataset, *, num_epoch: int = 100,
     all_idx = jnp.arange(ds.n_nodes, dtype=jnp.int32)
     model = AEGIS(n_h=embedding_dim)
     rng = jax.random.PRNGKey(seed)
-    params = model.init({"params": rng, "noise": rng}, adj, x)
+    if initial_params is not None:
+        params = jax.tree.map(jnp.asarray, initial_params)
+    else:
+        params = model.init({"params": rng, "noise": rng}, adj, x)
     tx_ae = optax.adam(1e-3)     # reference aegis.py:96 (lr fixed 1e-3)
     opt_ae = tx_ae.init(params)
     tx_adv = optax.adam(lr)
     tx_gen = generator_only_adam(lr, _generator_mask(params))
     opt_gen = tx_gen.init(params)
 
-    # adj/x/indices are jit ARGUMENTS, not closure constants (payload).
+    noise_box = {"i": 0, "rng": rng}
+
+    def next_noise():
+        if noise_seq is not None:
+            n = jnp.asarray(noise_seq[noise_box["i"]], jnp.float32)
+        else:
+            noise_box["rng"], k = jax.random.split(noise_box["rng"])
+            n = jax.random.normal(k, (x.shape[0], model.noise_dim))
+        noise_box["i"] += 1
+        return n
+
+    # adj/x/indices/noise are jit ARGUMENTS, not closure constants
+    # (payload rule).
     @jax.jit
-    def ae_step(params, opt, key, adj, x, train_idx):
+    def ae_step(params, opt, noise, adj, x, train_idx):
         def loss_fn(p):
-            out = model.apply(p, adj, x, rngs={"noise": key})
+            out = model.apply(p, adj, x, noise)
             la, _, _ = aegis_losses(out, x, train_idx)
             return la
 
@@ -271,11 +306,11 @@ def run_aegis(ds: GADDataset, *, num_epoch: int = 100,
         return optax.apply_updates(params, updates), opt, loss, grads
 
     @jax.jit
-    def ae_step_faithful(params, opt, grad_acc, key, adj, x, train_idx):
+    def ae_step_faithful(params, opt, grad_acc, noise, adj, x, train_idx):
         """Pretrain step with the reference's missing zero_grad: step on
         the RUNNING SUM of pretrain gradients (``aegis.py:119-124``)."""
         def loss_fn(p):
-            out = model.apply(p, adj, x, rngs={"noise": key})
+            out = model.apply(p, adj, x, noise)
             la, _, _ = aegis_losses(out, x, train_idx)
             return la
 
@@ -285,12 +320,12 @@ def run_aegis(ds: GADDataset, *, num_epoch: int = 100,
         return optax.apply_updates(params, updates), opt, grad_acc, loss
 
     @jax.jit
-    def adv_step(params, opt, key, adj, x, train_idx):
+    def adv_step(params, opt, noise, adj, x, train_idx):
         """Intended adversarial semantics: discriminator+AE on non-gen
         params, generator on its BCE (reference wiring at
         ``aegis.py:118-140``; see docstring for the quirk)."""
         def loss_fn(p):
-            out = model.apply(p, adj, x, rngs={"noise": key})
+            out = model.apply(p, adj, x, noise)
             la, ld, lg = aegis_losses(out, x, train_idx)
             # gen params only get gradient from lg because la/ld paths
             # stop at the generated features:
@@ -303,12 +338,12 @@ def run_aegis(ds: GADDataset, *, num_epoch: int = 100,
                 aegis_scores(out))
 
     @jax.jit
-    def adv_step_faithful(params, opt, opt_g, key, adj, x, all_idx):
+    def adv_step_faithful(params, opt, opt_g, noise, adj, x, all_idx):
         """Reference-effective adversarial step: grad(loss_g + loss_ae)
         drives a full-params Adam AND a generator-only Adam (same grads,
         independent moment state) — ``aegis.py:128-140``."""
         def loss_fn(p):
-            out = model.apply(p, adj, x, rngs={"noise": key})
+            out = model.apply(p, adj, x, noise)
             la, _, lg = aegis_losses(out, x, all_idx)
             return la + lg, (out, la)
 
@@ -321,41 +356,65 @@ def run_aegis(ds: GADDataset, *, num_epoch: int = 100,
         return params, opt, opt_g, la, aegis_scores(out)
 
     state = {"params": params, "scores": None}
+    pretrain_losses = []
     if faithful:
         grad_acc = jax.tree.map(jnp.zeros_like, params)
         for _ in range(recon_num_epoch):
-            rng, k = jax.random.split(rng)
-            state["params"], opt_ae, grad_acc, _ = ae_step_faithful(
-                state["params"], opt_ae, grad_acc, k, adj, x, train_idx)
+            state["params"], opt_ae, grad_acc, pl = ae_step_faithful(
+                state["params"], opt_ae, grad_acc, next_noise(), adj, x,
+                train_idx)
+            pretrain_losses.append(float(pl))
     else:
         for _ in range(recon_num_epoch):
-            rng, k = jax.random.split(rng)
-            state["params"], opt_ae, _, _ = ae_step(
-                state["params"], opt_ae, k, adj, x, train_idx)
+            state["params"], opt_ae, pl, _ = ae_step(
+                state["params"], opt_ae, next_noise(), adj, x, train_idx)
+            pretrain_losses.append(float(pl))
 
     opt_box = {"opt": tx_adv.init(state["params"]),
-               "opt_g": tx_gen.init(state["params"]), "rng": rng}
+               "opt_g": tx_gen.init(state["params"])}
 
     def step():
-        opt_box["rng"], k = jax.random.split(opt_box["rng"])
+        noise = next_noise()
         if faithful:
             (state["params"], opt_box["opt"], opt_box["opt_g"], loss,
              scores) = adv_step_faithful(
-                state["params"], opt_box["opt"], opt_box["opt_g"], k,
+                state["params"], opt_box["opt"], opt_box["opt_g"], noise,
                 adj, x, all_idx)
         else:
             state["params"], opt_box["opt"], loss, scores = adv_step(
-                state["params"], opt_box["opt"], k, adj, x, train_idx)
+                state["params"], opt_box["opt"], noise, adj, x, train_idx)
         state["scores"] = scores
         return loss
 
-    return _loop(num_epoch, eval_every, step,
-                 lambda: np.asarray(state["scores"]), ds, verbose, logger)
+    res = _loop(num_epoch, eval_every, step,
+                lambda: np.asarray(state["scores"]), ds, verbose, logger)
+    # prepend the AE-pretrain trajectory (reference prints ae_loss per
+    # pretrain epoch, aegis.py:126) for oracle comparison
+    res.history = ([{"pretrain_epoch": i, "loss": v}
+                    for i, v in enumerate(pretrain_losses)] + res.history)
+    return res
 
 
 def run_gaan(ds: GADDataset, *, num_epoch: int = 100, lr: float = 1e-3,
-             eval_every: int = 5, seed: int = 0, verbose: bool = False,
-             logger=None) -> BaselineResult:
+             eval_every: int = 5, seed: int = 0, faithful: bool = False,
+             verbose: bool = False, logger=None, initial_params=None,
+             noise_seq=None) -> BaselineResult:
+    """GAAN driver.
+
+    ``faithful=False`` (default): one summed Adam step — the gradient
+    sets of ``loss`` (encoder only; fake side detached) and ``loss_g``
+    (generator only) are disjoint, so this equals the reference's
+    ``optimiser.step()`` alone.
+
+    ``faithful=True`` additionally reproduces the reference's SECOND
+    generator update: after ``optimiser.step()`` over all params,
+    ``optimiser_gen.step()`` applies a separate-moments Adam to the
+    generator on the SAME gradients (``gaan.py:100-102,132-135``) — the
+    generator moves twice per epoch.
+
+    ``initial_params`` / ``noise_seq``: reference-oracle injection (one
+    [N, noise_dim] draw per epoch, ``model_gaan.py:312``).
+    """
     from ggad_tpu.models.gaan import GAAN, gaan_losses, gaan_scores
 
     adj, raw, x, _ = _prep(ds)
@@ -364,35 +423,57 @@ def run_gaan(ds: GADDataset, *, num_epoch: int = 100, lr: float = 1e-3,
     train_mask = jnp.ones(ds.n_nodes, bool)
     model = GAAN()
     rng = jax.random.PRNGKey(seed)
-    params = model.init({"params": rng, "noise": rng}, x)
+    if initial_params is not None:
+        params = jax.tree.map(jnp.asarray, initial_params)
+    else:
+        params = model.init({"params": rng, "noise": rng}, x)
     tx = optax.adam(lr)
     opt_state = tx.init(params)
+    tx_gen = generator_only_adam(lr, _generator_mask(params))
+    opt_gen = tx_gen.init(params)
 
-    # adj/x/masks are jit ARGUMENTS, not closure constants (payload).
+    noise_box = {"i": 0, "rng": rng}
+
+    def next_noise():
+        if noise_seq is not None:
+            n = jnp.asarray(noise_seq[noise_box["i"]], jnp.float32)
+        else:
+            noise_box["rng"], k = jax.random.split(noise_box["rng"])
+            n = jax.random.normal(k, (x.shape[0], model.noise_dim))
+        noise_box["i"] += 1
+        return n
+
+    # adj/x/masks/noise are jit ARGUMENTS, not closure constants
+    # (payload rule).
     @jax.jit
-    def train_step(params, opt, key, adj, x, train_mask, train_idx):
+    def train_step(params, opt, opt_g, noise, adj, x, train_mask,
+                   train_idx):
         def loss_fn(p):
-            out = model.apply(p, x, rngs={"noise": key})
+            out = model.apply(p, x, noise)
             ld, lg = gaan_losses(out, adj, x, train_mask, train_idx)
             # encoder gets grads from ld (fake side detached); generator
-            # from lg — the reference's two-optimizer wiring collapses to
-            # exactly this sum (gaan.py:100-135).
+            # from lg — disjoint sets, so the summed step equals the
+            # reference's optimiser.step() (gaan.py:100-135).
             return ld + lg, (ld, out)
 
         (loss, (ld, out)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(params)
         updates, opt = tx.update(grads, opt, params)
-        return (optax.apply_updates(params, updates), opt, ld,
-                gaan_scores(out, x))
+        params = optax.apply_updates(params, updates)
+        if faithful:
+            # second generator Adam on the same grads (gaan.py:135)
+            updates_g, opt_g = tx_gen.update(grads, opt_g, params)
+            params = optax.apply_updates(params, updates_g)
+        return params, opt, opt_g, ld, gaan_scores(out, x)
 
-    state = {"params": params, "opt": opt_state, "rng": rng,
+    state = {"params": params, "opt": opt_state, "opt_g": opt_gen,
              "scores": None}
 
     def step():
-        state["rng"], k = jax.random.split(state["rng"])
-        state["params"], state["opt"], loss, scores = train_step(
-            state["params"], state["opt"], k, adj, x, train_mask,
-            train_idx)
+        (state["params"], state["opt"], state["opt_g"], loss,
+         scores) = train_step(state["params"], state["opt"],
+                              state["opt_g"], next_noise(), adj, x,
+                              train_mask, train_idx)
         state["scores"] = scores
         return loss
 

@@ -376,6 +376,20 @@ class FullBatchTrainer:
         return out.logits[:, 0]
 
     # ------------------------------------------------------------------
+    def eval_scores(self, params, rng=None) -> np.ndarray:
+        """Public scoring program: one one-class logit per node (higher =
+        more anomalous), the reference's eval-branch semantics
+        (``run.py:230-240``, ``model.py:184-188``). This is the API the
+        serving path (:mod:`ggad_tpu.serve`) and any production consumer
+        should call; it routes through the same jitted program as
+        training-time evaluation (incl. the halo/mesh path when
+        ``mesh=`` is set)."""
+        if rng is None:
+            rng = jax.random.PRNGKey(0)
+        return np.asarray(self._eval_scores(
+            params, rng, self.adj, self.features, self.seed_idx,
+            self.normal_idx, self.ax))
+
     def train_auc(self, params, rng=None) -> float:
         """AUROC over the train split, entirely on device except the
         final scalar (reference ``run.py:217-228``)."""

@@ -53,6 +53,7 @@ import scipy.sparse as sp
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 REFERENCE_DIR = os.environ.get("GGAD_REFERENCE_DIR", "/root/reference")
 sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "scripts"))  # pyg_shim
 
 
 def install_shims():
@@ -221,6 +222,317 @@ def run_ours_ocgnn(ds, initial_params, *, epochs: int,
     evals = {r["epoch"]: {"auc": r["auc"], "ap": r["ap"]}
              for r in res.history}
     return {"losses": losses, "evals": evals}
+
+
+# ---------------------------------------------------------------------------
+# Baseline-driver legs (dominant / anomalyDAE / aegis / gaan)
+# ---------------------------------------------------------------------------
+#
+# These four drivers import torch_geometric modules that are LIVE in
+# their forward passes (PyG ``GCN``/``GATConv``/``MLP``); the faithful
+# torch-only reimplementation in :mod:`scripts.pyg_shim` (semantics of
+# the pinned torch_geometric==2.1.0) lets the ACTUAL driver code —
+# where the known quirks live (AEGIS's loss unpacking at
+# ``model_AEGIS.py:240``, GAAN's double generator step at
+# ``gaan.py:132-135``, the hard ``.cuda()`` at ``model_domaint.py:169``)
+# — execute unmodified.
+
+@contextlib.contextmanager
+def _cpu_cuda_shim():
+    """Identity-patch ``Tensor.cuda`` for the drivers with hard-coded
+    ``.cuda()`` calls (``model_domaint.py:169``, ``model_AEGIS.py:
+    201,223``, ``aegis.py:149``) on this CUDA-less host. The reference
+    itself ran on CPU (``README.md:21``) with these lines as latent
+    bugs."""
+    import torch
+
+    orig = torch.Tensor.cuda
+    torch.Tensor.cuda = lambda self, *a, **k: self
+    try:
+        yield
+    finally:
+        torch.Tensor.cuda = orig
+
+
+@contextlib.contextmanager
+def _capture_randn(holder: dict, shape):
+    """Record every ``torch.randn`` draw matching ``shape`` (the
+    per-forward noise, ``model_AEGIS.py:232`` / ``model_gaan.py:312``)
+    so our side can replay the identical sequence."""
+    import torch
+
+    orig = torch.randn
+    holder.setdefault("noise", [])
+
+    def rec(*a, **k):
+        out = orig(*a, **k)
+        if tuple(out.shape) == tuple(shape):
+            holder["noise"].append(out.detach().clone().numpy())
+        return out
+
+    torch.randn = rec
+    try:
+        yield
+    finally:
+        torch.randn = orig
+
+
+def run_reference_baseline(driver: str, model_module: str, dataset: str,
+                           workdir: str, *, epochs: int, lr: float,
+                           seed: int = 0, patch_cuda: bool = False,
+                           noise_shape=None, no_draw: bool = False) -> dict:
+    """Execute ``/root/reference/<driver>.py`` unmodified via runpy with
+    the PyG shim installed; capture the split (``utils.load_mat``), the
+    init weights (``Model.state_dict()``), the stdout trajectory, and —
+    when ``noise_shape`` is given — the per-forward noise draws."""
+    install_shims()
+    from pyg_shim import install_pyg_shim
+
+    install_pyg_shim()
+    _stub_torch_geometric()
+    if REFERENCE_DIR not in sys.path:
+        sys.path.insert(0, REFERENCE_DIR)
+    import importlib
+
+    ref_model = importlib.import_module(model_module)
+    import utils as ref_utils
+
+    holder: dict = {}
+    orig_load = ref_utils.load_mat
+    orig_init = ref_model.Model.__init__
+    orig_draw = getattr(ref_utils, "draw_pdf_methods", None)
+
+    def load_rec(*a, **k):
+        out = orig_load(*a, **k)
+        holder["load"] = out
+        return out
+
+    def init_rec(self, *a, **k):
+        orig_init(self, *a, **k)
+        holder["state_dict"] = {
+            k2: v.detach().cpu().clone().numpy()
+            for k2, v in self.state_dict().items()}
+
+    ref_utils.load_mat = load_rec
+    ref_model.Model.__init__ = init_rec
+    if no_draw and orig_draw is not None:
+        # diagnostics-only (affinity-histogram figures on a matplotlib
+        # API removed after 3.0.x, aegis.py:175-177); consumes no RNG,
+        # touches no training state
+        ref_utils.draw_pdf_methods = lambda *a, **k: None
+    argv = [f"{driver}.py", "--dataset", dataset, "--lr", str(lr),
+            "--num_epoch", str(epochs), "--seed", str(seed)]
+    buf = io.StringIO()
+    old_argv, old_cwd = sys.argv, os.getcwd()
+    ctx = _cpu_cuda_shim() if patch_cuda else contextlib.nullcontext()
+    nctx = (_capture_randn(holder, noise_shape)
+            if noise_shape is not None else contextlib.nullcontext())
+    try:
+        os.chdir(workdir)
+        sys.argv = argv
+        import runpy
+
+        with ctx, nctx, contextlib.redirect_stdout(buf):
+            runpy.run_path(os.path.join(REFERENCE_DIR, f"{driver}.py"),
+                           run_name="__main__")
+    finally:
+        sys.argv = old_argv
+        os.chdir(old_cwd)
+        ref_utils.load_mat = orig_load
+        ref_model.Model.__init__ = orig_init
+        if no_draw and orig_draw is not None:
+            ref_utils.draw_pdf_methods = orig_draw
+    text = holder["stdout"] = buf.getvalue()
+    losses = {int(m.group(1)): {"total": float(m.group(2))}
+              for m in re.finditer(
+                  r"Epoch: (\d+) train_loss= ([-\d.eE]+)", text)}
+    pre = [float(m.group(2)) for m in re.finditer(
+        r"Epoch: (\d+) ae_loss= ([-\d.eE]+)", text)]
+    aucs = [float(m.group(1))
+            for m in re.finditer(r"Testing \S+ AUC:([\d.eE-]+)", text)]
+    aps = [float(m.group(1))
+           for m in re.finditer(r"Testing AP: ([\d.eE-]+)", text)]
+    evals = {5 * i: {"auc": a, "ap": p}
+             for i, (a, p) in enumerate(zip(aucs, aps))}
+    holder["trajectory"] = {"losses": losses, "evals": evals,
+                            "pretrain_losses": pre}
+    return holder
+
+
+def _lin_p(sd, name):
+    return {"kernel": np.asarray(sd[f"{name}.weight"], np.float32).T,
+            "bias": np.asarray(sd[f"{name}.bias"], np.float32)}
+
+
+def _gcn_p(sd, name):
+    return {"fc": {"kernel": np.asarray(sd[f"{name}.fc.weight"],
+                                        np.float32).T},
+            "bias": np.asarray(sd[f"{name}.bias"], np.float32),
+            "prelu": {"alpha": np.asarray(sd[f"{name}.act.weight"],
+                                          np.float32).reshape(())}}
+
+
+def _mlp_p(sd, name):
+    """Shim PyG-MLP state_dict → our PyGMLP params (BN running stats are
+    never consumed — train-mode batch statistics only)."""
+    return {"lin1": _lin_p(sd, f"{name}.lins.0"),
+            "bn_scale": np.asarray(sd[f"{name}.norms.0.weight"],
+                                   np.float32),
+            "bn_bias": np.asarray(sd[f"{name}.norms.0.bias"], np.float32),
+            "lin2": _lin_p(sd, f"{name}.lins.1")}
+
+
+def dominant_flax_params_from_state_dict(sd: dict) -> dict:
+    """torch DOMINANT ``Model.state_dict()`` → our Dominant tree (the
+    disc/readout members are dead, ``model_domaint.py:105``)."""
+    def conv(i):
+        return {"fc": {"kernel": np.asarray(
+            sd[f"gat_layer.convs.{i}.lin.weight"], np.float32).T},
+            "bias": np.asarray(sd[f"gat_layer.convs.{i}.bias"],
+                               np.float32)}
+
+    return {"params": {
+        "dense_stru": _lin_p(sd, "dense_stru"),
+        "gcn1": conv(0), "gcn2": conv(1),
+        "dense_attr_1": _lin_p(sd, "dense_attr_1"),
+        "dense_attr_2": _lin_p(sd, "dense_attr_2")}}
+
+
+def anomalydae_flax_params_from_state_dict(sd: dict) -> dict:
+    return {"params": {
+        "dense_stru": _lin_p(sd, "dense_stru"),
+        "gat": {"kernel": np.asarray(sd["gat_layer.lin_src.weight"],
+                                     np.float32).T,
+                "att_src": np.asarray(sd["gat_layer.att_src"],
+                                      np.float32).reshape(1, -1),
+                "att_dst": np.asarray(sd["gat_layer.att_dst"],
+                                      np.float32).reshape(1, -1),
+                "bias": np.asarray(sd["gat_layer.bias"], np.float32)},
+        "dense_attr_1": _lin_p(sd, "dense_attr_1"),
+        "dense_attr_2": _lin_p(sd, "dense_attr_2")}}
+
+
+def aegis_flax_params_from_state_dict(sd: dict) -> dict:
+    """(the ``discriminator`` MLP is constructed but never called in the
+    AEGIS forward, ``model_AEGIS.py:164-170`` — zero grad, Adam no-op,
+    so dropping it preserves the trajectory)"""
+    return {"params": {
+        "gcn_enc1": _gcn_p(sd, "gcn_enc1"),
+        "gcn_enc2": _gcn_p(sd, "gcn_enc2"),
+        "gcn_dec1": _gcn_p(sd, "gcn_dec1"),
+        "gcn_dec2": _gcn_p(sd, "gcn_dec2"),
+        "generator": _mlp_p(sd, "generator"),
+        "discriminator2": _mlp_p(sd, "discriminator2")}}
+
+
+def gaan_flax_params_from_state_dict(sd: dict) -> dict:
+    return {"params": {
+        "generator": _mlp_p(sd, "generator"),
+        "discriminator": _mlp_p(sd, "discriminator")}}
+
+
+def run_ours_recon(model_name: str, ds, initial_params, *, epochs: int,
+                   lr: float) -> dict:
+    from ggad_tpu.train.baselines import run_reconstruction
+
+    res = run_reconstruction(model_name, ds, num_epoch=epochs, lr=lr,
+                             eval_every=1, initial_params=initial_params)
+    losses = {r["epoch"]: {"total": r["loss"]} for r in res.history}
+    evals = {r["epoch"]: {"auc": r["auc"], "ap": r["ap"]}
+             for r in res.history}
+    return {"losses": losses, "evals": evals}
+
+
+def run_ours_aegis(ds, initial_params, noise, *, epochs: int,
+                   lr: float) -> dict:
+    from ggad_tpu.train.baselines import run_aegis
+
+    res = run_aegis(ds, num_epoch=epochs, recon_num_epoch=10, lr=lr,
+                    eval_every=1, faithful=True,
+                    initial_params=initial_params, noise_seq=noise)
+    losses = {r["epoch"]: {"total": r["loss"]} for r in res.history
+              if "epoch" in r}
+    evals = {r["epoch"]: {"auc": r["auc"], "ap": r["ap"]}
+             for r in res.history if "auc" in r}
+    pre = [r["loss"] for r in res.history if "pretrain_epoch" in r]
+    return {"losses": losses, "evals": evals, "pretrain_losses": pre}
+
+
+def run_ours_gaan(ds, initial_params, noise, *, epochs: int,
+                  lr: float) -> dict:
+    from ggad_tpu.train.baselines import run_gaan
+
+    res = run_gaan(ds, num_epoch=epochs, lr=lr, eval_every=1,
+                   faithful=True, initial_params=initial_params,
+                   noise_seq=noise)
+    losses = {r["epoch"]: {"total": r["loss"]} for r in res.history}
+    evals = {r["epoch"]: {"auc": r["auc"], "ap": r["ap"]}
+             for r in res.history}
+    return {"losses": losses, "evals": evals}
+
+
+BASELINE_LEGS = {
+    "dominant": dict(driver="dominant", model_module="model_domaint",
+                     patch_cuda=True, noise=False),
+    "anomalydae": dict(driver="anomalyDAE",
+                       model_module="model_AnomalyDAE",
+                       patch_cuda=False, noise=False),
+    "aegis": dict(driver="aegis", model_module="model_AEGIS",
+                  patch_cuda=True, noise=True, no_draw=True),
+    "gaan": dict(driver="gaan", model_module="model_gaan",
+                 patch_cuda=False, noise=True),
+}
+
+
+def run_baseline_leg(leg: str, ds, workdir: str, *, epochs: int,
+                     lr: float, seed: int = 0) -> dict:
+    """One executed-reference baseline leg: run the driver, rebuild the
+    captured dataset/init on our side, train, and diff trajectories."""
+    cfg = BASELINE_LEGS[leg]
+    print(f"[oracle] running reference {cfg['driver']}.py: "
+          f"epochs={epochs} lr={lr}")
+    ref = run_reference_baseline(
+        cfg["driver"], cfg["model_module"], "oraclesynth", workdir,
+        epochs=epochs, lr=lr, seed=seed, patch_cuda=cfg["patch_cuda"],
+        noise_shape=((ds.n_nodes, 16) if cfg["noise"] else None),
+        no_draw=cfg.get("no_draw", False))
+    ds2 = dataset_from_reference_load(ref["load"])
+    sd = ref["state_dict"]
+    if leg == "dominant":
+        ours = run_ours_recon(
+            "dominant", ds2, dominant_flax_params_from_state_dict(sd),
+            epochs=epochs, lr=lr)
+    elif leg == "anomalydae":
+        ours = run_ours_recon(
+            "anomalydae", ds2,
+            anomalydae_flax_params_from_state_dict(sd),
+            epochs=epochs, lr=lr)
+    elif leg == "aegis":
+        ours = run_ours_aegis(
+            ds2, aegis_flax_params_from_state_dict(sd), ref["noise"],
+            epochs=epochs, lr=lr)
+    else:
+        ours = run_ours_gaan(
+            ds2, gaan_flax_params_from_state_dict(sd), ref["noise"],
+            epochs=epochs, lr=lr)
+    diffs = compare(ref["trajectory"], ours)
+    rpre = ref["trajectory"].get("pretrain_losses", [])
+    opre = ours.get("pretrain_losses", [])
+    pre_diffs = [abs(a - b) for a, b in zip(rpre, opre)]
+    for i, d in enumerate(pre_diffs):
+        print(f"[{leg}] pretrain {i}: ref {rpre[i]:.5f} ours "
+              f"{opre[i]:.5f} |Δ| {d:.2e}")
+    for row in diffs["loss_diffs"]:
+        ep = row["epoch"]
+        r = ref["trajectory"]["losses"][ep]["total"]
+        o = ours["losses"][ep]["total"]
+        print(f"[{leg}] epoch {ep:>4} ref {r:.5f} ours {o:.5f} "
+              f"|Δ| {abs(r - o):.2e}")
+    for row in diffs["eval_diffs"]:
+        print(f"[{leg}] eval @{row['epoch']:>4}: ΔAUROC "
+              f"{row['d_auc']:.4f} ΔAP {row['d_ap']:.4f}")
+    return {"reference": ref["trajectory"], "ours": ours, "diffs": diffs,
+            "pretrain_diffs": pre_diffs}
 
 
 def _stub_torch_geometric():
@@ -636,7 +948,8 @@ def main():
     ap.add_argument("--lr", type=float, default=1e-3)
     ap.add_argument("--out", default=os.path.join(REPO, "ORACLE.json"))
     ap.add_argument("--leg", choices=["ggad", "ocgnn", "tam", "minibatch",
-                                      "all", "both"],
+                                      "dominant", "anomalydae", "aegis",
+                                      "gaan", "baselines", "all", "both"],
                     default="all")
     ap.add_argument("--tam_cutting", type=int, default=8)
     args = ap.parse_args()
@@ -681,6 +994,19 @@ def main():
         export_mat(ds, os.path.join(tmp, "dataset", "oraclesynth.mat"))
         os.makedirs(os.path.join(tmp, "data"), exist_ok=True)
         export_mat(ds, os.path.join(tmp, "data", "oraclesynth.mat"))
+        baseline_records = {}
+        baseline_names = [n for n in BASELINE_LEGS
+                          if args.leg in (n, "baselines", "all")]
+        for leg in baseline_names:
+            baseline_records[leg] = run_baseline_leg(
+                leg, ds, tmp, epochs=args.epochs, lr=args.lr,
+                seed=args.seed)
+        if args.leg in BASELINE_LEGS or args.leg == "baselines":
+            with open(args.out, "w") as f:
+                json.dump({"baselines": baseline_records}, f, indent=1,
+                          default=float)
+            print(f"[oracle] wrote {args.out}")
+            return
         if args.leg in ("tam", "all"):
             print(f"[oracle] running reference tam.py: N={args.nodes} "
                   f"cutting={args.tam_cutting} (500 epochs/member, "
@@ -781,6 +1107,7 @@ def main():
         "ocgnn": ocgnn_record,
         "tam": tam_record,
         "minibatch": minibatch_record,
+        "baselines": baseline_records,
     }
     with open(args.out, "w") as f:
         json.dump(record, f, indent=1, default=float)

@@ -80,14 +80,17 @@ def test_dominant_loss_oracle(tiny):
     expect = float(_attr_err(xt, x_rec)[np.asarray(train_idx)].mean())
     np.testing.assert_allclose(got, expect, **TOL)
 
-    # the structure branch itself must match the dense GCN stack
+    # the structure branch itself must match the dense GCN stack (PyG
+    # BasicGNN: ReLU between the convs, NONE after the last —
+    # basic_gnn.py @2.1.0; executed-oracle-pinned in
+    # tests/test_reference_oracle.py)
     adj_d = _t(to_scipy(adj).toarray())
     h = torch.relu(xt @ _p(params, "dense_stru", "kernel")
                    + _p(params, "dense_stru", "bias"))
     h = _gcn(adj_d, h, _p(params, "gcn1", "fc", "kernel"),
              _p(params, "gcn1", "bias"))
-    emb = _gcn(adj_d, h, _p(params, "gcn2", "fc", "kernel"),
-               _p(params, "gcn2", "bias"))
+    emb = adj_d @ (h @ _p(params, "gcn2", "fc", "kernel")) \
+        + _p(params, "gcn2", "bias")
     np.testing.assert_allclose(np.asarray(out.emb), emb.numpy(),
                                rtol=1e-4, atol=1e-4)
 
@@ -186,26 +189,38 @@ def test_ocgnn_loss_oracle(tiny):
 # (model_AEGIS.py:215-233)
 # ---------------------------------------------------------------------------
 
+def _mlp_bn(params, name, h, act):
+    """PyG-2.1.0 MLP mirror: Linear → BatchNorm1d(train-mode batch
+    stats, biased var, eps 1e-5) → act → Linear."""
+    h = h @ _p(params, name, "lin1", "kernel") \
+        + _p(params, name, "lin1", "bias")
+    mean = h.mean(0)
+    var = h.var(0, unbiased=False)
+    h = (h - mean) / torch.sqrt(var + 1e-5) \
+        * _p(params, name, "bn_scale") + _p(params, name, "bn_bias")
+    h = torch.relu(h) if act == "relu" else torch.sigmoid(h)
+    return h @ _p(params, name, "lin2", "kernel") \
+        + _p(params, name, "lin2", "bias")
+
+
 def _aegis_torch_forward(params, adj_d, xt, noise):
     def gcn_named(h, name):
         return _gcn(adj_d, h, _p(params, name, "fc", "kernel"),
                     _p(params, name, "bias"),
                     _p(params, name, "prelu", "alpha"))
 
-    def mlp(name, h, act):
-        h = h @ _p(params, name, "lin1", "kernel") \
-            + _p(params, name, "lin1", "bias")
-        h = torch.relu(h) if act == "relu" else torch.sigmoid(h)
-        return h @ _p(params, name, "lin2", "kernel") \
-            + _p(params, name, "lin2", "bias")
-
-    x_gen = mlp("generator", _t(noise), "relu")
+    x_gen = _mlp_bn(params, "generator", _t(noise), "relu")
     z_gen = gcn_named(gcn_named(x_gen, "gcn_enc1"), "gcn_enc2")
     z = gcn_named(gcn_named(xt, "gcn_enc1"), "gcn_enc2")
     x_dec = gcn_named(gcn_named(z, "gcn_dec1"), "gcn_dec2")
-    p_real = torch.sigmoid(mlp("discriminator2", z, "sigmoid"))[:, 0]
-    p_gen = torch.sigmoid(mlp("discriminator2", z_gen, "sigmoid"))[:, 0]
-    return z, z_gen, x_dec, p_real, p_gen
+    # reference model_AEGIS.py:215-220: disc over cat([z, z_gen]) (BN
+    # stats over 2N rows) AND separately over z_gen (stats over N rows)
+    emb_all = torch.cat([z, z_gen], 0)
+    probs_all = torch.sigmoid(
+        _mlp_bn(params, "discriminator2", emb_all, "sigmoid"))[:, 0]
+    p_gen = torch.sigmoid(
+        _mlp_bn(params, "discriminator2", z_gen, "sigmoid"))[:, 0]
+    return z, z_gen, x_dec, probs_all, p_gen
 
 
 def test_aegis_losses_oracle(tiny):
@@ -222,16 +237,19 @@ def test_aegis_losses_oracle(tiny):
 
     adj_d = _t(to_scipy(adj).toarray())
     xt = _t(x)
-    z, z_gen, x_dec, p_real, p_gen = _aegis_torch_forward(
+    z, z_gen, x_dec, probs_all, p_gen = _aegis_torch_forward(
         params, adj_d, xt, noise)
 
     la_t = float(_attr_err(xt, x_dec)[train_idx].mean())
-    eps = 1e-7
-    pr = torch.clamp(p_real[train_idx], eps, 1 - eps)
-    pg = torch.clamp(p_gen, eps, 1 - eps)
-    ld_t = float(-(torch.log(1 - pr).sum() + torch.log(pg).sum())
-                 / (len(train_idx) + len(pg)))
-    lg_t = float(-torch.log(1 - pg).mean())
+    n = ds.n_nodes
+    pr = probs_all[:n][train_idx]
+    pg_all = probs_all[n:]
+    # torch F.binary_cross_entropy semantics (log clamp -100)
+    ld_t = float(-(torch.clamp(torch.log(1 - pr), min=-100).sum()
+                   + torch.clamp(torch.log(pg_all), min=-100).sum())
+                 / (len(train_idx) + len(pg_all)))
+    lg_t = float(torch.nn.functional.binary_cross_entropy(
+        p_gen, torch.zeros_like(p_gen)))
     np.testing.assert_allclose(float(la), la_t, rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(float(ld), ld_t, rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(float(lg), lg_t, rtol=1e-4, atol=1e-4)
@@ -291,6 +309,10 @@ def test_aegis_faithful_step_matches_two_optimizer_torch(tiny):
 
     def mlp(name, h, act):
         h = h @ tp[(name, "lin1", "kernel")] + tp[(name, "lin1", "bias")]
+        mean = h.mean(0)
+        var = h.var(0, unbiased=False)
+        h = (h - mean) / torch.sqrt(var + 1e-5) \
+            * tp[(name, "bn_scale")] + tp[(name, "bn_bias")]
         h = torch.relu(h) if act == "relu" else torch.sigmoid(h)
         return h @ tp[(name, "lin2", "kernel")] + tp[(name, "lin2", "bias")]
 
@@ -301,8 +323,8 @@ def test_aegis_faithful_step_matches_two_optimizer_torch(tiny):
     p_gen = torch.sigmoid(mlp("discriminator2", z_gen, "sigmoid"))[:, 0]
 
     loss_ae = _attr_err(xt, x_dec).mean()
-    eps = 1e-7
-    loss_g = -torch.log(1 - torch.clamp(p_gen, eps, 1 - eps)).mean()
+    loss_g = torch.nn.functional.binary_cross_entropy(
+        p_gen, torch.zeros_like(p_gen))
 
     all_params = list(flat.values())
     gen_params = [v for k, v in flat.items() if k[0] == "generator"]
@@ -314,8 +336,18 @@ def test_aegis_faithful_step_matches_two_optimizer_torch(tiny):
     opt_all.step()
     opt_gen.step()
 
+    # BN-shadowed biases (the Linear feeding a BatchNorm) are
+    # forward-invisible: BN subtracts the batch mean, so their exact
+    # gradient is 0 and both frameworks produce float-noise gradients
+    # that Adam amplifies to lr-scale chaotic (but output-irrelevant)
+    # updates — not comparable, and harmless (the executed AEGIS oracle
+    # leg confirms trajectory parity regardless).
+    bn_shadowed = {("generator", "lin1", "bias"),
+                   ("discriminator2", "lin1", "bias")}
     nf = flax.traverse_util.flatten_dict(new_params["params"])
     for k, v in nf.items():
+        if k in bn_shadowed:
+            continue
         np.testing.assert_allclose(
             np.asarray(v), flat[k].detach().numpy(), rtol=2e-4, atol=2e-5,
             err_msg=str(k))
@@ -348,11 +380,13 @@ def test_gaan_losses_oracle(tiny):
     col = np.asarray(adj.col)
     val = np.asarray(adj.val)
     sel = mask[row] & (val != 0)
-    eps = 1e-7
     a_real = torch.sigmoid((z[row[sel]] * z[col[sel]]).sum(1))
     a_fake = torch.sigmoid((z_gen[row[sel]] * z_gen[col[sel]]).sum(1))
-    loss_r = -torch.log(torch.clamp(a_real, eps, 1 - eps)).mean()
-    loss_f = -torch.log(torch.clamp(1 - a_fake, eps, 1 - eps)).mean()
+    # torch F.binary_cross_entropy semantics (model_gaan.py:266-270)
+    loss_r = torch.nn.functional.binary_cross_entropy(
+        a_real, torch.ones_like(a_real))
+    loss_f = torch.nn.functional.binary_cross_entropy(
+        a_fake, torch.zeros_like(a_fake))
     ld_t = float(0.5 * (loss_r + loss_f))
     lg_t = float(_attr_err(_t(x), x_gen)[train_idx].mean())
     np.testing.assert_allclose(float(ld), ld_t, rtol=1e-4, atol=1e-4)

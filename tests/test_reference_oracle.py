@@ -148,6 +148,50 @@ def test_minibatch_matches_executed_reference_metrics(tmp_path):
 
 
 @pytest.mark.slow
+@pytest.mark.parametrize("leg", ["dominant", "anomalydae", "aegis",
+                                 "gaan"])
+def test_baseline_driver_matches_executed_reference(tmp_path, leg):
+    """The four remaining reference drivers EXECUTED unmodified (their
+    live PyG modules provided by the faithful torch-only
+    ``scripts/pyg_shim`` — torch_geometric==2.1.0 semantics incl. the
+    MLP's default BatchNorm). Pins per-epoch losses (incl. AEGIS's
+    pretrain accumulation quirk and GAAN's saturated-BCE growth) and
+    eval AUROC/AP.
+
+    This leg caught two mirror bugs on first execution: the missing
+    BatchNorm in every AEGIS/GAAN MLP, and eps-clipped BCE
+    underestimating torch's log-clamp(-100) loss 6× under
+    discriminator saturation (see ``ggad_tpu/ops/bce.py``).
+    """
+    pytest.importorskip("torch")
+    from scripts.reference_oracle import export_mat, run_baseline_leg
+    from ggad_tpu.datasets.synthetic import synthetic_gad
+
+    epochs = 12
+    ds = synthetic_gad(n_nodes=200, avg_degree=8, feat_dim=12,
+                       n_communities=4, anomaly_rate=0.1, seed=11)
+    os.makedirs(tmp_path / "dataset", exist_ok=True)
+    export_mat(ds, str(tmp_path / "dataset" / "oraclesynth.mat"))
+    rec = run_baseline_leg(leg, ds, str(tmp_path), epochs=epochs,
+                           lr=1e-3, seed=11)
+
+    ref_losses = rec["reference"]["losses"]
+    assert ref_losses, rec["reference"]
+    # pretrain epochs (AEGIS only): gradient-accumulation quirk pinned
+    for i, d in enumerate(rec["pretrain_diffs"]):
+        r = rec["reference"]["pretrain_losses"][i]
+        assert d < 2e-4 + 1e-4 * abs(r), (leg, "pretrain", i, d)
+    for row in rec["diffs"]["loss_diffs"]:
+        ep = row["epoch"]
+        r = ref_losses[ep]["total"]
+        assert row["d_total"] < 1e-3 + 1e-3 * abs(r), (leg, ep, row)
+    assert rec["diffs"]["eval_diffs"], rec
+    for row in rec["diffs"]["eval_diffs"]:
+        assert row["d_auc"] < 5e-3, (leg, row)
+        assert row["d_ap"] < 1e-2, (leg, row)
+
+
+@pytest.mark.slow
 def test_ocgnn_matches_executed_reference(tmp_path):
     pytest.importorskip("torch")
     from scripts.reference_oracle import (
