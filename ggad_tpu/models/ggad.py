@@ -33,6 +33,47 @@ from ggad_tpu.nn.layers import DenseNoBias, GCNLayer, MLPHead
 from ggad_tpu.ops.spmm import spmm
 
 
+def _replace_rows_impl(emb, values, rows):
+    n = emb.shape[0]
+    mask = jnp.zeros((n,), bool).at[rows].set(True)
+    pos = jnp.zeros((n,), jnp.int32).at[rows].set(
+        jnp.arange(rows.shape[0], dtype=jnp.int32))
+    vals_full = values.at[pos].get(mode="promise_in_bounds")
+    return jnp.where(mask[:, None], vals_full, emb)
+
+
+@jax.custom_vjp
+def replace_rows(emb: jax.Array, values: jax.Array,
+                 rows: jax.Array) -> jax.Array:
+    """out = emb with out[rows[k]] = values[k] (``rows`` unique) —
+    value- and gradient-identical to ``emb.at[rows].set(values)``.
+
+    Implemented as mask + gather instead of XLA scatter: the scatter
+    lowering materializes a [N, n_h] u32 index plane plus an operand
+    copy (~0.7 ms of the elliptic step, round-5 trace); here the only
+    full-size work is one [N]-row gather from the [S, n_h] values and a
+    fused select. The backward is the exact transpose: zero the
+    replaced rows' cotangent, gather the values' cotangent.
+    """
+    return _replace_rows_impl(emb, values, rows)
+
+
+def _replace_rows_fwd(emb, values, rows):
+    return _replace_rows_impl(emb, values, rows), rows
+
+
+def _replace_rows_bwd(rows, g):
+    import numpy as np
+
+    mask = jnp.zeros((g.shape[0],), bool).at[rows].set(True)
+    d_emb = jnp.where(mask[:, None], 0.0, g)
+    d_vals = g.at[rows].get(mode="promise_in_bounds")
+    return d_emb, d_vals, np.zeros(rows.shape, jax.dtypes.float0)
+
+
+replace_rows.defvjp(_replace_rows_fwd, _replace_rows_bwd)
+
+
 class GGADOutput(NamedTuple):
     emb: jax.Array           # [N, n_h] embeddings (seed rows replaced in train)
     emb_combine: jax.Array   # [Nn+S, n_h] (train) — head input
@@ -102,7 +143,10 @@ class GGAD(nn.Module):
             # Generated outliers from neighborhood aggregates:
             # (Â @ emb)[seed] == adj[seed, :] @ emb  (reference model.py:151-156)
             if seed_adj is not None:
-                agg = spmm(seed_adj, emb, impl="xla")
+                # "auto": a plain rect Graph takes the edge-parallel
+                # path; an ELLGraph (sparse-regime trainer) its
+                # scatter-free sigma tables
+                agg = spmm(seed_adj, emb, impl="auto")
             else:
                 agg = spmm(adj, emb, impl=self.spmm_impl)[seed_idx]
             emb_con = jax.nn.relu(self.fc4(agg))
@@ -110,7 +154,8 @@ class GGAD(nn.Module):
             logits = self.head(emb_combine)
             # Functional replacement; gradient flows into fc4 and the encoder
             # exactly like the reference's in-place write (model.py:182).
-            emb = emb.at[seed_idx].set(emb_con)
+            # replace_rows = scatter-free .at[seed].set (see its docstring).
+            emb = replace_rows(emb, emb_con, seed_idx)
         else:
             emb_con = jnp.zeros((seed_idx.shape[0], self.n_h), emb.dtype)
             emb_combine = jnp.zeros((0, self.n_h), emb.dtype)

@@ -202,7 +202,12 @@ def node_affinity_at(sub, emb: jax.Array) -> jax.Array:
     """affinity[k] for the k-th requested node — identical values to
     ``node_affinity(g, emb)[idx]`` (tested), at O(E_sub·d) (edge
     variant) or O(tiles_sub) on the MXU (tile variant)."""
+    from ggad_tpu.ops.ell_spmm import ELLAffinitySubset, ell_subset_colsum
+
     emb_n = l2_normalize_rows(emb)
+    if isinstance(sub, ELLAffinitySubset):
+        num = ell_subset_colsum(sub, emb_n)
+        return (num * sub.inv_den)[sub.gather]
     tgt = emb_n[sub.uniq]
     if isinstance(sub, TileAffinitySubset):
         from ggad_tpu.ops.pallas_sddmm import bcsr_sddmm_colsum_rect

@@ -41,7 +41,7 @@ def maybe_bcsr(adj: Graph, impl: str, *, min_edges_per_tile: float = 8.0,
         return adj
     if impl == "ell":
         from ggad_tpu.ops.ell_spmm import as_ell_graph
-        return as_ell_graph(adj, dtype=dtype)
+        return as_ell_graph(adj, dtype=dtype, layout="sigma")
     if impl not in ("auto", "pallas"):
         return adj
     if impl == "auto" and jax.default_backend() != "tpu":
@@ -58,7 +58,7 @@ def maybe_bcsr(adj: Graph, impl: str, *, min_edges_per_tile: float = 8.0,
     if impl == "auto" and (adj.n_edges / max(tiles, 1) < min_edges_per_tile
                            or mem > mem_budget_bytes):
         from ggad_tpu.ops.ell_spmm import as_ell_graph
-        return as_ell_graph(adj, dtype=dtype)
+        return as_ell_graph(adj, dtype=dtype, layout="sigma")
     return as_bcsr_graph(adj, dtype=dtype)
 
 
@@ -187,6 +187,34 @@ class FullBatchTrainer:
                     np.asarray(ds.normal_label_idx, np.int64),
                     np.asarray(ds.abnormal_label_idx, np.int64)]),
                 dtype=self.spmm_dtype)
+        from ggad_tpu.ops.ell_spmm import (
+            ELLGraph,
+            ELLPair,
+            ell_affinity_subset,
+            ell_sigma_from_coo,
+        )
+        if isinstance(self.raw_adj, ELLGraph):
+            # sparse regime: rect ELL subset replaces the edge-parallel
+            # path whose backward scatter dominated (round-5: 2.37 →
+            # ~1.8 ms of the elliptic step; see ELLAffinitySubset)
+            self.aff_sub = ell_affinity_subset(
+                self.raw_adj.graph, np.concatenate([
+                    np.asarray(ds.normal_label_idx, np.int64),
+                    np.asarray(ds.abnormal_label_idx, np.int64)]),
+                dtype=self.spmm_dtype)
+            # seed-row generator aggregation: rect sigma tables — the
+            # edge-parallel backward scattered E_seed cotangents into
+            # [N, n_h] (~0.5 ms, round-5 trace)
+            sg = self.seed_adj
+            sr = np.asarray(sg.row)[: sg.n_edges]
+            sc = np.asarray(sg.col)[: sg.n_edges]
+            sv = np.asarray(sg.val)[: sg.n_edges]
+            self.seed_adj = ELLGraph(graph=sg, tables=ELLPair(
+                fwd=ell_sigma_from_coo(sr, sc, sv, sg.n_nodes,
+                                       dtype=self.spmm_dtype),
+                bwd=ell_sigma_from_coo(sc, sr, sv, ds.n_nodes,
+                                       dtype=self.spmm_dtype),
+                n_nodes=sg.n_nodes))
         self.features = jnp.asarray(ds.features, dtype=jnp.float32)
         self.seed_idx = jnp.asarray(ds.abnormal_label_idx, dtype=jnp.int32)
         self.normal_idx = jnp.asarray(ds.normal_label_idx, dtype=jnp.int32)

@@ -114,10 +114,17 @@ def main():
     rows["l2_normalize"] = timed_scan(
         lambda c: l2_normalize_rows(c) * 0.5 + c * 0.5, h, args.k)
 
-    # subset affinity (the production margin path) fwd+bwd
+    # subset affinity (the production margin path) fwd+bwd — route like
+    # the trainer: rect ELL tables on the ELL regime, edge-parallel
+    # otherwise (the BCSR tile variant is covered by full_step)
+    from ggad_tpu.ops.ell_spmm import ELLGraph, ell_affinity_subset
     from ggad_tpu.ops.sddmm import affinity_subset, node_affinity_at
-    sub = affinity_subset(raw_g, np.concatenate(
-        [ds.normal_label_idx, ds.abnormal_label_idx]))
+    labeled = np.concatenate(
+        [ds.normal_label_idx, ds.abnormal_label_idx])
+    if isinstance(raw, ELLGraph):
+        sub = ell_affinity_subset(raw_g, labeled, dtype=args.spmm_dtype)
+    else:
+        sub = affinity_subset(raw_g, labeled)
     g_sub = jax.grad(
         lambda c, sb: jnp.sum(node_affinity_at(sb, c)) * 1e-6)
     rows["affinity_subset_fwd_bwd"] = timed_scan(

@@ -203,3 +203,57 @@ def test_ell_value_maps_reproduce_tables(rng):
         expect = np.asarray(spmm_coo(g.row, g.col, jnp.asarray(v), x,
                                      g.n_nodes))
         np.testing.assert_allclose(got, expect, rtol=1e-4, atol=1e-5)
+
+
+def test_ell_subset_affinity_matches_edge_subset(rng):
+    """The rect-ELL subset colsum (value AND gradient) must equal both
+    the full node_affinity at the subset ids and the edge-parallel
+    AffinitySubset path it replaces (round-5 sparse-regime margin)."""
+    from ggad_tpu.ops.ell_spmm import ell_affinity_subset
+    from ggad_tpu.ops.sddmm import affinity_subset, node_affinity_at
+
+    mat = hub_graph(170, seed=5)
+    g = add_self_loops(from_scipy(mat))
+    n = g.n_nodes
+    r = np.random.default_rng(7)
+    idx = np.unique(r.integers(0, n, 40))
+    idx = np.concatenate([idx, idx[:5]])  # repeated ids (seeds ⊂ normals)
+    emb = jnp.asarray(r.standard_normal((n, 9)), jnp.float32)
+
+    sub_edge = affinity_subset(g, idx)
+    sub_ell = ell_affinity_subset(g, idx)
+    full = node_affinity(g, emb)[jnp.asarray(idx)]
+    a_edge = node_affinity_at(sub_edge, emb)
+    a_ell = node_affinity_at(sub_ell, emb)
+    np.testing.assert_allclose(np.asarray(a_ell), np.asarray(full),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(a_ell), np.asarray(a_edge),
+                               rtol=1e-5, atol=1e-5)
+
+    def loss_of(path):
+        def f(e):
+            a = node_affinity_at(path, e)
+            return jnp.sum(jnp.sin(a * 3.0))
+        return f
+
+    g_edge = jax.grad(loss_of(sub_edge))(emb)
+    g_ell = jax.grad(loss_of(sub_ell))(emb)
+    np.testing.assert_allclose(np.asarray(g_ell), np.asarray(g_edge),
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_ell_subset_affinity_bf16_tables_close(rng):
+    """bf16 rect tables stay within bf16 tolerance of the f32 path."""
+    from ggad_tpu.ops.ell_spmm import ell_affinity_subset
+    from ggad_tpu.ops.sddmm import node_affinity_at
+
+    mat = random_graph(150, density=0.04, seed=9)
+    g = add_self_loops(from_scipy(mat))
+    r = np.random.default_rng(3)
+    idx = np.unique(r.integers(0, g.n_nodes, 30))
+    emb = jnp.asarray(r.standard_normal((g.n_nodes, 12)), jnp.float32)
+    a32 = node_affinity_at(ell_affinity_subset(g, idx), emb)
+    a16 = node_affinity_at(
+        ell_affinity_subset(g, idx, dtype="bfloat16"), emb)
+    np.testing.assert_allclose(np.asarray(a16), np.asarray(a32),
+                               rtol=2e-2, atol=2e-2)
