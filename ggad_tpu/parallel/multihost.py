@@ -36,9 +36,14 @@ def initialize(coordinator_address: Optional[str] = None,
                num_processes: Optional[int] = None,
                process_id: Optional[int] = None) -> None:
     """``jax.distributed.initialize`` unless already connected or
-    single-process. Safe to call unconditionally at program start."""
-    if jax.process_count() > 1:
-        return  # already initialized
+    single-process. Safe to call unconditionally at program start.
+
+    NB the already-connected check must NOT touch the backend:
+    ``jax.process_count()`` initializes XLA, after which distributed
+    init is rejected (caught by the real two-process test,
+    ``tests/test_multihost.py``)."""
+    if jax.distributed.is_initialized():
+        return  # already connected
     if coordinator_address is None and num_processes is None:
         # Cloud TPU autodetection; a plain single-process run stays one
         try:
@@ -66,10 +71,19 @@ def make_hybrid_mesh(ici_axis: str = "nodes", dcn_axis: str = "hosts",
     from jax.experimental import mesh_utils
 
     per_host = per_host_parallelism or (n_dev // n_proc)
-    devices = mesh_utils.create_hybrid_device_mesh(
-        mesh_shape=(per_host,),
-        dcn_mesh_shape=(n_proc,),
-        devices=jax.devices())
+    try:
+        devices = mesh_utils.create_hybrid_device_mesh(
+            mesh_shape=(per_host,),
+            dcn_mesh_shape=(n_proc,),
+            devices=jax.devices())
+    except ValueError:
+        # Devices without a slice_index attribute (e.g. multi-process
+        # CPU, the two-process test harness) can't be slice-grouped by
+        # mesh_utils; group by process instead — same DCN-outer/ICI-
+        # inner topology intent.
+        devs = sorted(jax.devices(),
+                      key=lambda d: (d.process_index, d.id))
+        devices = np.asarray(devs)
     return Mesh(devices.reshape(n_proc, per_host),
                 axis_names=(dcn_axis, ici_axis))
 
