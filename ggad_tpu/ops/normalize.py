@@ -47,6 +47,20 @@ def normalize_adj_reference(g: Graph) -> tuple[Graph, Graph]:
     return adj, raw_adj
 
 
+def row_normalize_smoothed(x: np.ndarray) -> np.ndarray:
+    """The MINIBATCH path's feature normalization
+    (``src/utils.py:74-84``): x / (rowsum + 0.01) — note the +0.01
+    smoothing, a reference quirk distinct from the full-batch
+    ``row_normalize_features``. Applied unconditionally by the
+    reference's ModelHandler (``src/model_handler.py:225``); caught by
+    the executed src/main.py oracle leg — earlier rounds' minibatch
+    trainers skipped it."""
+    x = np.asarray(x, dtype=np.float32)
+    rowsum = x.sum(axis=1) + 0.01
+    inv = np.where(np.isfinite(1.0 / rowsum), 1.0 / rowsum, 0.0)
+    return x * inv[:, None]
+
+
 def gcn_norm_graph(g: Graph) -> Graph:
     """PyG ``gcn_norm`` semantics (torch_geometric 2.1.0): unit edge
     weights over the BINARIZED edge set, symmetric D^-1/2 B D^-1/2.

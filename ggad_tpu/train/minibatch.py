@@ -82,9 +82,18 @@ class MiniBatchTrainer:
     checkpoint_dir: Optional[str] = None
     mesh: Optional[Any] = None    # jax Mesh (or device count) → data-
                                   # parallel batch-axis sharding (GSPMD)
+    normalize_features: bool = True   # reference ModelHandler row-
+                                  # normalizes with +0.01 smoothing
+                                  # (src/model_handler.py:225,
+                                  # src/utils.py:74-84) — executed-
+                                  # oracle-caught; False keeps raw
+                                  # features for ablation
 
     def __post_init__(self):
         self.table = NeighborTable.from_scipy(self.adj)
+        if self.normalize_features:
+            from ggad_tpu.ops.normalize import row_normalize_smoothed
+            self.features = row_normalize_smoothed(self.features)
         self.feats = jnp.asarray(self.features, jnp.float32)
         self._batch_sh = self._repl = None
         if self.mesh is not None:

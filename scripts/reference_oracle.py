@@ -700,17 +700,27 @@ def run_ours_tam(ref: dict, *, cutting: int, n_h: int = 128,
 
 
 def run_reference_minibatch(ds, workdir: str, *, num_epochs: int = 30,
-                            seed: int = 72) -> dict:
+                            seed: int = 72, batch_size: int = 150) -> dict:
     """Execute the reference's DGraph mini-batch path
     (``src/main.py`` → ``ModelHandler`` → GCNAggregator/GCNEncoder/GCN)
     unmodified on a synthetic dgraphfin-format dataset.
 
     torch_geometric's ``GCNConv`` is imported but never used
-    (``src/graphsage.py:8``) — stubbed like dgl. Unlike the full-batch
-    legs, per-batch neighbor sampling consumes ``random`` state inside
-    the aggregators (``src/graphsage.py:66-78``), so trajectories are
-    NOT capturable; this leg compares at the METRIC level (final test
-    AUROC/AP on the captured split) plus the captured split itself.
+    (``src/graphsage.py:8``) — stubbed like dgl. The GCN model consumes
+    NO RNG in its forward (``GCNAggregator`` is the exact set union —
+    only ``MeanAggregator``, the SAGE path, samples), so capturing the
+    shuffled batch sequence + pre-first-step weights pins the WHOLE
+    trajectory; ``run_ours_minibatch_exact`` replays it.
+
+    Round-5 finding: with the handler's hardcoded ``num_batches = 150``
+    (``src/model_handler.py:317``), any run where
+    150·batch_size > len(idx_train) hits EMPTY train slices → batches
+    of only label-1 seeds → ``affinity_normal_mean`` = mean of an empty
+    selection = NaN → NaN gradients poison the parameters from that
+    batch on (``src/graphsage.py:238-241``). At DGraph scale the train
+    pool is large enough; at oracle scale pass a small ``batch_size``
+    to keep every batch populated (or use the default to reproduce the
+    pathology itself).
 
     NB quirk reproduced as-is: ``ModelHandler.train`` assigns
     idx_valid = idx_test (``src/model_handler.py:260-261``) — "valid"
@@ -734,8 +744,9 @@ def run_reference_minibatch(ds, workdir: str, *, num_epochs: int = 30,
              x=np.asarray(ds.features, np.float32),
              y=np.asarray(ds.ano_labels, np.int64))
 
-    import utils as src_utils          # /root/reference/src/utils.py
+    import graphsage as src_gs         # /root/reference/src/graphsage.py
     import model_handler as src_mh
+    import utils as src_utils          # /root/reference/src/utils.py
 
     # the reference's own offline prep builds the pickled adjacency list
     # (adds self-loops + symmetrizes, src/utils.py:45-61)
@@ -743,8 +754,9 @@ def run_reference_minibatch(ds, workdir: str, *, num_epochs: int = 30,
         sp.csr_matrix(ds.adj),
         os.path.join(run_dir, "data", "dgraphfin_adj_list"))
 
-    holder: dict = {}
+    holder: dict = {"batches": [], "batch_losses": []}
     orig_init = src_mh.ModelHandler.__init__
+    orig_loss = src_gs.GCN.loss
 
     def init_rec(self, config):
         orig_init(self, config)
@@ -752,9 +764,27 @@ def run_reference_minibatch(ds, workdir: str, *, num_epochs: int = 30,
             k: (np.asarray(v) if isinstance(v, (list, np.ndarray))
                 else v)
             for k, v in self.dataset.items()
-            if k not in ("adj_lists", "homo", "feat_data")}
+            if k not in ("adj_lists", "homo")}
+
+    def loss_rec(self, nodes, labels):
+        # the GCN minibatch model consumes NO RNG inside its forward
+        # (GCNAggregator is the exact set-union, src/graphsage.py:295-
+        # 360); capturing the shuffled batch sequence + the pre-first-
+        # step weights makes the whole trajectory deterministic.
+        if "state_dict" not in holder:
+            holder["state_dict"] = {
+                k: v.detach().cpu().clone().numpy()
+                for k, v in self.state_dict().items()}
+        holder["batches"].append((
+            np.asarray(list(nodes), np.int64),
+            np.asarray(labels, np.float32)))
+        out = orig_loss(self, nodes, labels)
+        holder["batch_losses"].append(
+            [float(t.detach()) for t in out])
+        return out
 
     src_mh.ModelHandler.__init__ = init_rec
+    src_gs.GCN.loss = loss_rec
 
     import yaml
 
@@ -764,7 +794,7 @@ def run_reference_minibatch(ds, workdir: str, *, num_epochs: int = 30,
         "save_dir": "./pytorch_models/", "model": "GCN",
         "multi_relation": "GNN", "emb_size": 64, "thres": 0.4,
         "rho": 0.5, "seed": seed, "optimizer": "adam", "lr": 0.001,
-        "weight_decay": 0.007, "batch_size": 150,
+        "weight_decay": 0.007, "batch_size": batch_size,
         "num_epochs": num_epochs, "valid_epochs": 5, "alpha": 2,
         "no_cuda": True, "cuda_id": "0",
     }
@@ -787,6 +817,7 @@ def run_reference_minibatch(ds, workdir: str, *, num_epochs: int = 30,
         sys.argv = old_argv
         os.chdir(old_cwd)
         src_mh.ModelHandler.__init__ = orig_init
+        src_gs.GCN.loss = orig_loss
         # un-shadow: the src/ modules reuse root-reference module names
         # (utils, model) — purge them and drop src from the path so the
         # full-batch legs import the ROOT modules afterwards
@@ -795,6 +826,7 @@ def run_reference_minibatch(ds, workdir: str, *, num_epochs: int = 30,
             sys.modules.pop(name, None)
         if src_dir in sys.path:
             sys.path.remove(src_dir)
+    holder["batch_size"] = batch_size
     text = holder["stdout"] = buf.getvalue()
     aucs = [float(m.group(1))
             for m in re.finditer(r"AUC: ([\d.eE-]+)", text)]
@@ -807,7 +839,144 @@ def run_reference_minibatch(ds, workdir: str, *, num_epochs: int = 30,
     return holder
 
 
-def run_ours_minibatch(ds, ref: dict, *, num_epochs: int = 30) -> dict:
+def minibatch_exact_params_from_state_dict(sd: dict) -> dict:
+    """torch ``GCN.state_dict()`` (weight [1,D], enc.weight [D,F],
+    enc.fc.weight [D,D]) → the exact-path params dict."""
+    return {"w_enc": np.asarray(sd["enc.weight"], np.float32),
+            "fc": np.asarray(sd["enc.fc.weight"], np.float32),
+            "w_score": np.asarray(sd["weight"], np.float32)}
+
+
+def run_ours_minibatch_exact(ds, ref: dict) -> dict:
+    """TRAJECTORY-level replay: the captured batch sequence through the
+    exact set-union aggregation (``ggad_tpu.models.sage_exact``) under
+    the captured initial weights and the reference's coupled-L2 Adam.
+    Per-batch total losses compare directly to the captured ones."""
+    import jax
+    import jax.numpy as jnp
+
+    from ggad_tpu.models.sage_exact import (
+        build_exact_batch,
+        coupled_adam,
+        exact_losses,
+        exact_scores,
+    )
+
+    cap = ref["dataset"]
+    feats = jnp.asarray(np.asarray(cap["feat_data"], np.float32))
+    # the replay adjacency must equal the pickled adj_list. NB
+    # src/utils.py defines sparse_to_adjlist TWICE; the second
+    # definition (src/utils.py:105-112) WINS and has the self-loop line
+    # commented out — the pickle is the symmetrized graph WITHOUT self
+    # loops. Self enters only via the aggregator's 1-hop union
+    # (src/graphsage.py:304), never the 2-hop rows (executed-oracle-
+    # caught: a +I replay adjacency shifts every 2-hop context).
+    a = sp.csr_matrix(ds.adj)
+    adj = ((a + a.T) > 0).astype(np.float32).tocsr()
+    indptr, indices = adj.indptr, adj.indices
+
+    params = jax.tree.map(
+        jnp.asarray, minibatch_exact_params_from_state_dict(
+            ref["state_dict"]))
+    tx = coupled_adam(1e-3, 0.007)   # oracle cfg lr/weight_decay
+    opt = tx.init(params)
+
+    # one static pad over the whole sequence → one compile
+    batches = ref["batches"]
+    built, u_max, e_max = [], 0, 0
+    for nodes, labels in batches:
+        neigh_sets = [set(indices[indptr[n]: indptr[n + 1]].tolist())
+                      | {int(n)} for n in nodes]
+        uniq = set().union(*neigh_sets)
+        exp = set().union(*[set(
+            indices[indptr[n]: indptr[n + 1]].tolist())
+            for n in uniq])
+        u_max = max(u_max, len(uniq))
+        e_max = max(e_max, len(exp))
+    u_pad = -(-u_max // 64) * 64
+    e_pad = -(-e_max // 64) * 64
+
+    @jax.jit
+    def step(params, opt, feats, b):
+        (total, parts), grads = jax.value_and_grad(
+            exact_losses, has_aux=True)(params, feats, b)
+        updates, opt = tx.update(grads, opt, params)
+        import optax
+
+        return optax.apply_updates(params, updates), opt, total, parts
+
+    # eval machinery (the reference validates every valid_epochs and
+    # restores the BEST-valid-AUC snapshot for the final test,
+    # src/model_handler.py:379-407; idx_valid == idx_test quirk)
+    from ggad_tpu.ops.metrics import average_precision, roc_auc
+
+    bs = int(ref.get("batch_size", 150))
+    labels_all = np.asarray(cap["labels"]).ravel()
+
+    def eval_slices(ids):
+        out = [ids[i * bs: min((i + 1) * bs, len(ids))]
+               for i in range(len(ids) // bs + 1)]
+        return [s for s in out if len(s)]
+
+    def upad_of(slices):
+        u = 0
+        for chunk in slices:
+            uniq = set()
+            for n in chunk:
+                uniq |= set(indices[indptr[n]: indptr[n + 1]].tolist())
+                uniq.add(int(n))
+            u = max(u, len(uniq))
+        return -(-u // 32) * 32
+
+    ev = jax.jit(exact_scores)
+
+    def eval_auc(params, ids):
+        slices = eval_slices(np.asarray(ids, np.int64))
+        u_ev = upad_of(slices)
+        probs = np.empty(sum(len(s) for s in slices), np.float32)
+        pos = 0
+        for chunk in slices:
+            b = build_exact_batch(indptr, indices, chunk,
+                                  np.zeros(len(chunk), np.float32),
+                                  u_ev, 32, two_hop=False)
+            probs[pos: pos + len(chunk)] = np.asarray(
+                ev(params, feats, b))
+            pos += len(chunk)
+        ids = np.concatenate(slices)
+        return (roc_auc(labels_all[ids], probs),
+                average_precision(labels_all[ids], probs), probs)
+
+    idx_valid = np.asarray(cap["idx_valid"], np.int64)
+    n_per_epoch = 150                 # hardcoded num_batches
+    valid_every = 5                   # cfg valid_epochs
+    best_auc, best_params = 0.0, jax.tree.map(lambda a: a, params)
+    losses = []
+    for i, (nodes, labels) in enumerate(batches):
+        b = build_exact_batch(indptr, indices, nodes, labels,
+                              u_pad, e_pad)
+        params, opt, total, parts = step(params, opt, feats, b)
+        losses.append(float(total))
+        if (i + 1) % n_per_epoch == 0:
+            epoch = i // n_per_epoch
+            if epoch % valid_every == 0:
+                auc_v, _, _ = eval_auc(params, idx_valid)
+                if auc_v > best_auc:
+                    best_auc = auc_v
+                    best_params = jax.tree.map(lambda a: a.copy(),
+                                               params)
+
+    # final test from the restored-best snapshot, with the reference's
+    # exact eval slicing (the mask's column normalization depends on
+    # batch composition — a 256-node eval batch scores differently;
+    # both caught by the final-AUC comparison missing by ~1e-2)
+    idx_test = np.asarray(cap["idx_test"], np.int64)
+    auc_t, ap_t, _ = eval_auc(best_params, idx_test)
+    return {"losses": losses, "best_val_auc": best_auc,
+            "final_auc": auc_t, "final_ap": ap_t}
+
+
+def run_ours_minibatch(ds, ref: dict, *, num_epochs: int = 30,
+                       batch_size: int = 150) -> dict:
     """MiniBatchTrainer under the reference's captured split/labels
     (including its pseudo-anomaly relabels + contamination)."""
     from ggad_tpu.train.minibatch import MiniBatchTrainer
@@ -825,7 +994,7 @@ def run_ours_minibatch(ds, ref: dict, *, num_epochs: int = 30) -> dict:
         idx_valid=np.asarray(cap["idx_test"], np.int64),
         idx_test=np.asarray(cap["idx_test"], np.int64),
         emb_dim=64, num_epochs=num_epochs, num_batches=150,
-        valid_epochs=5)
+        batch_size=batch_size, valid_epochs=5)
     res = tr.train()
     return {"final_auc": res.test_metrics["auc"],
             "final_ap": res.test_metrics["ap"],

@@ -116,35 +116,89 @@ def test_tam_matches_executed_reference(tmp_path):
 
 
 @pytest.mark.slow
-def test_minibatch_matches_executed_reference_metrics(tmp_path):
+def test_minibatch_exact_trajectory_matches_executed_reference(tmp_path):
     """DGraph mini-batch path (src/main.py → ModelHandler → GCN
-    aggregators) executed unmodified; METRIC-level comparison only —
-    per-batch neighbor sampling consumes `random` state inside the
-    aggregators, so trajectories are not capturable. Our trainer runs
-    under the CAPTURED split/labels (pseudo-anomaly relabels +
-    contamination + the valid==test quirk)."""
+    aggregators) executed unmodified and replayed at TRAJECTORY level:
+    the reference's GCN model consumes no RNG inside its forward (the
+    aggregation is the exact set union), so the captured shuffled batch
+    sequence + initial weights pin every per-batch loss. The exact-mask
+    replay (``ggad_tpu.models.sage_exact``) must match each batch total
+    to f32 roundoff — this replaces round 4's 0.12-AUROC metric-level
+    envelope.
+
+    A small ``batch_size`` keeps the hardcoded 150 batches/epoch inside
+    the train pool; the NaN pathology the default batch_size triggers is
+    pinned separately below. (The reference's eval batching also
+    crashes outright on an empty final slice whenever an eval-set size
+    divides batch_size — ``int(len/bs)+1`` slices, ``src/utils.py``
+    ``test_sage`` — hence the probed shapes.)"""
     pytest.importorskip("torch")
     from scripts.reference_oracle import (
-        run_ours_minibatch,
+        run_ours_minibatch_exact,
         run_reference_minibatch,
     )
     from ggad_tpu.datasets.synthetic import synthetic_gad
 
-    ds = synthetic_gad(n_nodes=2500, avg_degree=12, feat_dim=17,
-                       n_communities=4, anomaly_rate=0.08,
-                       feature_noise=0.25, seed=2)
-    ref = run_reference_minibatch(ds, str(tmp_path), num_epochs=40)
+    # the reference's eval batching (int(len/bs)+1 slices,
+    # src/utils.py test_sage) crashes on an empty final batch whenever
+    # len(valid) %% bs == 0 — probe a couple of shapes
+    ref = None
+    for n_nodes in (1704, 1708, 1712, 1716, 1720):  # probed: eval-set
+        # sizes must not divide bs (1704 verified)
+        ds = synthetic_gad(n_nodes=n_nodes, avg_degree=10, feat_dim=17,
+                           n_communities=4, anomaly_rate=0.08,
+                           feature_noise=0.25, seed=2)
+        try:
+            ref = run_reference_minibatch(ds, str(tmp_path),
+                                          num_epochs=3, batch_size=3)
+            break
+        except TypeError:
+            continue   # empty eval batch: len(valid) divisible by bs
+    assert ref is not None, "no probed shape avoided the empty-batch crash"
     assert ref["final_auc"] is not None, ref["stdout"][-2000:]
-    ours = run_ours_minibatch(ds, ref, num_epochs=40)
-    # split capture sanity: contamination + pseudo-anomalies present
+    rl = [x[0] for x in ref["batch_losses"]]
+    assert not any(np.isnan(x) for x in rl), "healthy config NaN'd"
+    ours = run_ours_minibatch_exact(ds, ref)
+    diffs = [abs(a - b) for a, b in zip(rl, ours["losses"])]
+    # per-batch parity: f32 roundoff compounding over 450 Adam steps
+    assert max(diffs) < 2e-3 + 1e-3 * max(abs(x) for x in rl), (
+        max(diffs), rl[:5], ours["losses"][:5])
+    assert max(diffs[:20]) < 1e-4, diffs[:20]
+    assert abs(ref["final_auc"] - ours["final_auc"]) < 5e-3, (
+        ref["final_auc"], ours["final_auc"])
+    # split capture sanity: pseudo-anomalies present
     cap = ref["dataset"]
     assert len(cap["idx_anomaly"]) > 0
-    assert int(np.asarray(cap["labels"]).sum()) > int(
-        np.asarray(ds.ano_labels).sum()) * 0  # relabeled array captured
-    # metric envelope (independent sampling RNG on both sides)
-    assert abs(ref["final_auc"] - ours["final_auc"]) < 0.12, (
-        ref["final_auc"], ours["final_auc"])
-    assert abs(ref["final_ap"] - ours["final_ap"]) < 0.12
+
+
+@pytest.mark.slow
+def test_minibatch_reference_nan_pathology_reproduced(tmp_path):
+    """The handler's hardcoded 150 batches/epoch overruns a small train
+    pool → empty train slices → all-seed batches → the affinity's
+    normal-mean is a mean over an EMPTY selection → NaN loss, and the
+    NaN gradients poison the parameters from that batch on
+    (``src/model_handler.py:317,334-336``, ``src/graphsage.py:238-241``).
+    Executed-oracle finding (round 5): at DGraph scale the pool is big
+    enough, so this is a latent small-data bug, reproduced here; the
+    exact replay matches the finite prefix."""
+    pytest.importorskip("torch")
+    from scripts.reference_oracle import (
+        run_ours_minibatch_exact,
+        run_reference_minibatch,
+    )
+    from ggad_tpu.datasets.synthetic import synthetic_gad
+
+    ds = synthetic_gad(n_nodes=800, avg_degree=8, feat_dim=17,
+                       n_communities=4, anomaly_rate=0.08,
+                       feature_noise=0.25, seed=2)
+    ref = run_reference_minibatch(ds, str(tmp_path), num_epochs=1)
+    rl = [x[0] for x in ref["batch_losses"]]
+    assert any(np.isnan(x) for x in rl), "pathology did not trigger"
+    ours = run_ours_minibatch_exact(ds, ref)
+    finite = [(a, b) for a, b in zip(rl, ours["losses"])
+              if not np.isnan(a)]
+    assert len(finite) >= 2
+    assert max(abs(a - b) for a, b in finite) < 1e-4, finite
 
 
 @pytest.mark.slow
