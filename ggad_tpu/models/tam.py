@@ -231,12 +231,12 @@ def _train_ensemble_bcsr(model, tx, raw_adj, raw_ell, x, normal_idx,
 
     from functools import partial
 
-    @partial(jax.jit, static_argnums=(6,))
-    def epoch_block(params_b, opt_state, pair, xd, ell_d, nidx, k):
+    @partial(jax.jit, static_argnums=(7,))
+    def epoch_block(params_b, opt_state, acc, pair, xd, ell_d, nidx, k):
         m_chunk = jax.tree_util.tree_leaves(params_b)[0].shape[0]
 
         def one(carry, _):
-            params_b, opt_state = carry
+            params_b, opt_state, acc = carry
 
             def loss_fn(pb):
                 pr = pb["params"]
@@ -268,13 +268,19 @@ def _train_ensemble_bcsr(model, tx, raw_adj, raw_ell, x, normal_idx,
 
             (_, (loss_m, msg)), grads = jax.value_and_grad(
                 loss_fn, has_aux=True)(params_b)
-            updates, opt_state = tx.update(grads, opt_state, params_b)
+            # reference quirk: zero_grad once PER MEMBER (tam.py:180),
+            # so every epoch steps on the RUNNING SUM of gradients —
+            # round-5 f64 trajectory oracle caught the fresh-grads
+            # version drifting 1.5%/500ep from the f64 truth while the
+            # reference tracked it to 3e-7
+            acc = jax.tree.map(jnp.add, acc, grads)
+            updates, opt_state = tx.update(acc, opt_state, params_b)
             params_b = optax.apply_updates(params_b, updates)
-            return (params_b, opt_state), (loss_m, msg)
+            return (params_b, opt_state, acc), (loss_m, msg)
 
-        (params_b, opt_state), (loss_m, msg) = jax.lax.scan(
-            one, (params_b, opt_state), None, length=k)
-        return params_b, opt_state, loss_m[-1], msg[-1]
+        (params_b, opt_state, acc), (loss_m, msg) = jax.lax.scan(
+            one, (params_b, opt_state, acc), None, length=k)
+        return params_b, opt_state, acc, loss_m[-1], msg[-1]
 
     block = min(50, num_epoch)
     # with loss_record, block boundaries land right AFTER each recorded
@@ -298,20 +304,21 @@ def _train_ensemble_bcsr(model, tx, raw_adj, raw_ell, x, normal_idx,
         # plain (unvmapped) adam state: elementwise update + one shared
         # step count == per-member adam exactly
         opt_state = tx.init(params_b)
+        acc = jax.tree.map(jnp.zeros_like, params_b)
         message = None
         hist = {}
         ep = 0
         for b in (marks or []):
-            params_b, opt_state, loss_m, message = epoch_block(
-                params_b, opt_state, pair, x, raw_ell, normal_idx,
+            params_b, opt_state, acc, loss_m, message = epoch_block(
+                params_b, opt_state, acc, pair, x, raw_ell, normal_idx,
                 b - ep)
             ep = b
             if b - 1 in loss_record:
                 hist[b - 1] = np.asarray(loss_m)
         while ep < num_epoch:
             k = min(block, num_epoch - ep)
-            params_b, opt_state, loss_m, message = epoch_block(
-                params_b, opt_state, pair, x, raw_ell,
+            params_b, opt_state, acc, loss_m, message = epoch_block(
+                params_b, opt_state, acc, pair, x, raw_ell,
                 normal_idx, k)
             ep += k
             if verbose:
@@ -477,7 +484,7 @@ def run_tam(
             graph=dataclasses.replace(ell_d.graph, val=planes["edge"]),
             tables=tables)
 
-    def one_step(p, o, planes, xd, ell_d):
+    def one_step(p, o, acc, planes, xd, ell_d):
         adj_m = member_graph(planes, ell_d)
 
         def loss_fn(p):
@@ -487,34 +494,38 @@ def run_tam(
 
         (loss, message), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(p)
-        updates, o = tx.update(grads, o)
+        # running-sum gradients (reference zero_grad-once-per-member
+        # quirk, tam.py:180 — see the BCSR path note)
+        acc = jax.tree.map(jnp.add, acc, grads)
+        updates, o = tx.update(acc, o)
         p = optax.apply_updates(p, updates)
-        return p, o, loss, message
+        return p, o, acc, loss, message
 
     from functools import partial
 
     # x / the shared ELL structure enter as jit ARGUMENTS (payload rule:
     # closed-over arrays ship with the compile payload)
-    @partial(jax.jit, static_argnums=(5,))
-    def epoch_block(params, opt_state, plane_chunk, xd, ell_d, n_steps):
+    @partial(jax.jit, static_argnums=(6,))
+    def epoch_block(params, opt_state, acc, plane_chunk, xd, ell_d,
+                    n_steps):
         """``n_steps`` vmapped ensemble epochs fused into one dispatch
         (per-epoch host round-trips otherwise dominate TAM's wall time:
         cutting × num_epoch dispatches)."""
         m = plane_chunk["edge"].shape[0]
-        init = (params, opt_state,
+        init = (params, opt_state, acc,
                 jnp.zeros((m,), jnp.float32),
                 jnp.zeros((m, raw_adj.n_nodes), jnp.float32))
 
         def body(carry, _):
-            p, o, _, _ = carry
-            p, o, loss, msg = jax.vmap(
-                one_step, in_axes=(0, 0, 0, None, None))(
-                p, o, plane_chunk, xd, ell_d)
-            return (p, o, loss, msg), None
+            p, o, acc, _, _ = carry
+            p, o, acc, loss, msg = jax.vmap(
+                one_step, in_axes=(0, 0, 0, 0, None, None))(
+                p, o, acc, plane_chunk, xd, ell_d)
+            return (p, o, acc, loss, msg), None
 
-        (params, opt_state, loss, message), _ = jax.lax.scan(
+        (params, opt_state, acc, loss, message), _ = jax.lax.scan(
             body, init, None, length=n_steps)
-        return params, opt_state, loss, message
+        return params, opt_state, acc, loss, message
 
     block = min(50, num_epoch)
     marks = (sorted({ep + 1 for ep in loss_record if ep < num_epoch}
@@ -532,19 +543,20 @@ def run_tam(
         else:
             params = jax.vmap(init_one)(keys)
         opt_state = jax.vmap(tx.init)(params)
+        acc = jax.tree.map(jnp.zeros_like, params)
         message = None
         hist = {}
         ep = 0
         for b in (marks or []):
-            params, opt_state, loss, message = epoch_block(
-                params, opt_state, plane_chunk, x, raw_ell, b - ep)
+            params, opt_state, acc, loss, message = epoch_block(
+                params, opt_state, acc, plane_chunk, x, raw_ell, b - ep)
             ep = b
             if b - 1 in loss_record:
                 hist[b - 1] = np.asarray(loss)
         while ep < num_epoch:
             n = min(block, num_epoch - ep)
-            params, opt_state, loss, message = epoch_block(
-                params, opt_state, plane_chunk, x, raw_ell, n)
+            params, opt_state, acc, loss, message = epoch_block(
+                params, opt_state, acc, plane_chunk, x, raw_ell, n)
             ep += n
             if verbose:
                 print(f"tam members {start}+ epoch {ep}: mean loss "

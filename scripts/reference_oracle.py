@@ -551,7 +551,8 @@ def _stub_torch_geometric():
 
 
 def run_reference_tam(dataset: str, workdir: str, *, cutting: int = 8,
-                      seed: int = 0) -> dict:
+                      seed: int = 0, inject: dict | None = None,
+                      f64: bool = False) -> dict:
     """Run ``/root/reference/tam.py`` unmodified (torch-only; dgl and
     torch_geometric stubbed — the latter's only import is the GINConv
     used by the unused GIN class, ``model_tam.py:266-279``).
@@ -562,6 +563,13 @@ def run_reference_tam(dataset: str, workdir: str, *, cutting: int = 8,
     (``utils_tam.load_mat``), each member's NSGT cut adjacency
     (``graph_nsgt`` returns), and each member's init ``state_dict``.
     Given those, training is deterministic.
+
+    ``inject``: a previous run's holder — its captured cuts/state_dicts
+    are REPLAYED instead of re-drawn, making two runs identical up to
+    arithmetic. ``f64``: run the reference under
+    ``torch.set_default_dtype(float64)`` — paired with an injected f32
+    run this isolates pure summation-precision drift (the round-5
+    attribution experiment for the TAM 500-epoch envelope).
     """
     install_shims()
     _stub_torch_geometric()
@@ -574,19 +582,34 @@ def run_reference_tam(dataset: str, workdir: str, *, cutting: int = 8,
     orig_load = ref_utils_tam.load_mat
     orig_nsgt = ref_utils_tam.graph_nsgt
     orig_init = ref_model_tam.Model.__init__
+    import torch as _torch
 
     def load_rec(*a, **k):
+        if inject is not None:
+            holder["load"] = inject["load"]
+            return inject["load"]
         out = orig_load(*a, **k)
         holder["load"] = out
         return out
 
     def nsgt_rec(dis_array, adj):
+        if inject is not None:
+            cut = inject["cuts"][len(holder["cuts"])]
+            holder["cuts"].append(cut)
+            return _torch.tensor(cut).to(adj.dtype)
         out = orig_nsgt(dis_array, adj)
         holder["cuts"].append(out.detach().clone().numpy())
         return out
 
     def init_rec(self, *a, **k):
         orig_init(self, *a, **k)
+        if inject is not None:
+            sd = inject["state_dicts"][len(holder["state_dicts"])]
+            self.load_state_dict({k2: _torch.tensor(v).to(
+                _torch.get_default_dtype())
+                for k2, v in sd.items()})
+            holder["state_dicts"].append(sd)
+            return
         holder["state_dicts"].append({
             k2: v.detach().cpu().clone().numpy()
             for k2, v in self.state_dict().items()})
@@ -594,6 +617,9 @@ def run_reference_tam(dataset: str, workdir: str, *, cutting: int = 8,
     ref_utils_tam.load_mat = load_rec
     ref_utils_tam.graph_nsgt = nsgt_rec
     ref_model_tam.Model.__init__ = init_rec
+    old_dtype = _torch.get_default_dtype()
+    if f64:
+        _torch.set_default_dtype(_torch.float64)
     argv = ["tam.py", "--dataset", dataset, "--dataset_model", dataset,
             "--cutting", str(cutting), "--seed", str(seed)]
     buf = io.StringIO()
@@ -611,6 +637,7 @@ def run_reference_tam(dataset: str, workdir: str, *, cutting: int = 8,
     finally:
         sys.argv = old_argv
         os.chdir(old_cwd)
+        _torch.set_default_dtype(old_dtype)
         ref_utils_tam.load_mat = orig_load
         ref_utils_tam.graph_nsgt = orig_nsgt
         ref_model_tam.Model.__init__ = orig_init
@@ -682,9 +709,16 @@ def run_ours_tam(ref: dict, *, cutting: int, n_h: int = 128,
     for m in range(res.member_messages.shape[0]):
         s = 1.0 - np.asarray(minmax(jnp.asarray(res.member_messages[m])))
         member_aucs.append(roc_auc(ano, s))
-    cut_test = [(roc_auc(ano[idx_test], res.per_round_scores[r][idx_test]),
+    # the reference's mid-loop test AUC is the PER-CUT score (mean over
+    # that cut's N_tree members only, tam.py:211-224), not the
+    # cumulative ensemble (which is its third, all-nodes print)
+    n_tree = res.member_messages.shape[0] // cutting
+    per_cut = res.member_messages.reshape(cutting, n_tree, -1).mean(1)
+    cut_scores = [1.0 - np.asarray(minmax(jnp.asarray(per_cut[c])))
+                  for c in range(cutting)]
+    cut_test = [(roc_auc(ano[idx_test], cut_scores[r][idx_test]),
                  average_precision(ano[idx_test],
-                                   res.per_round_scores[r][idx_test]))
+                                   cut_scores[r][idx_test]))
                 for r in range(cutting)]
     cut_all = [(roc_auc(ano, res.per_round_scores[r]),
                 average_precision(ano, res.per_round_scores[r]))

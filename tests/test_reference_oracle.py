@@ -73,11 +73,14 @@ def test_tam_matches_executed_reference(tmp_path):
 
     tam.py hardcodes 500 epochs at lr 1e-5 and runs unseeded; the
     harness captures split + per-member NSGT cuts + inits, making both
-    sides deterministic. Epoch-0 losses match to f32 roundoff (an f64
-    gradient cross-check matches to ~4e-7); later epochs drift by
-    deterministic summation-order bias (torch dense row-major vs our
-    ELL slot order) compounding under the nearly-flat loss — tolerances
-    reflect that envelope, with metric-level agreement pinned tighter.
+    sides deterministic. Round-5: the f64 trajectory oracle
+    (``scripts/tam_f64_leg.py``) showed the reference tracks the f64
+    truth to ~3e-7 while our ensemble drifted 1.5%/500ep — the "f32
+    summation drift" was actually a MISSING QUIRK: the reference calls
+    zero_grad once PER MEMBER (tam.py:180), stepping on the running SUM
+    of gradients every epoch. With accumulation implemented, all three
+    sides agree to ~4e-7 relative over the full 500 epochs, and the
+    tolerances here are tight accordingly.
     """
     pytest.importorskip("torch")
     from scripts.reference_oracle import (
@@ -99,20 +102,17 @@ def test_tam_matches_executed_reference(tmp_path):
     rl, ol = ref["trajectory"]["losses"], ours["losses"]
     assert len(rl) == len(ol) == cutting * 10, (len(rl), len(ol))
     for m in range(cutting):
-        # epoch 0: pure forward with identical weights/cuts
-        i = m * 10
-        assert abs(rl[i] - ol[i]) < 1e-4 * abs(rl[i]), (m, rl[i], ol[i])
         for k in range(10):
-            r, o = rl[i + k], ol[i + k]
-            assert abs(r - o) < 3e-2 * abs(r), (m, k, r, o)
+            r, o = rl[m * 10 + k], ol[m * 10 + k]
+            assert abs(r - o) < 1e-4 * abs(r), (m, k, r, o)
     raucs = ref["trajectory"]["aucs"]
     i = 0
     for c in range(cutting):
         mem, test, alln = raucs[i], raucs[i + 1], raucs[i + 2]
         i += 3
-        assert abs(mem - ours["member_aucs"][c]) < 0.06, (c, mem)
-        assert abs(test - ours["cut_test"][c][0]) < 0.03, (c, test)
-        assert abs(alln - ours["cut_all"][c][0]) < 0.06, (c, alln)
+        assert abs(mem - ours["member_aucs"][c]) < 2e-3, (c, mem)
+        assert abs(test - ours["cut_test"][c][0]) < 2e-3, (c, test)
+        assert abs(alln - ours["cut_all"][c][0]) < 2e-3, (c, alln)
 
 
 @pytest.mark.slow
@@ -278,3 +278,35 @@ def test_ocgnn_matches_executed_reference(tmp_path):
         o = ours["evals"][ep]
         assert abs(r["auc"] - o["auc"]) < 5e-3, (ep, r, o)
         assert abs(r["ap"] - o["ap"]) < 5e-3, (ep, r, o)
+
+
+@pytest.mark.slow
+def test_tam_f64_trajectory_attribution(tmp_path):
+    """Round-5 f64 trajectory oracle: with the gradient-accumulation
+    quirk implemented, the f32 reference AND our f32 ensemble must both
+    track an independent float64 mirror (jax x64 autodiff, subprocess)
+    to ~1e-6 relative over the full 500 epochs — proving there is no
+    residual semantic or precision gap (this experiment is what caught
+    the missing zero_grad-once-per-member accumulation: before the fix
+    ours drifted 1.5%/500ep from the f64 truth while the reference sat
+    at 3e-7)."""
+    pytest.importorskip("torch")
+    import subprocess
+    import sys
+
+    out = tmp_path / "tam_f64.json"
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    r = subprocess.run(
+        [sys.executable, "scripts/tam_f64_leg.py", "--nodes", "120",
+         "--cutting", "1", "--out", str(out)],
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        env=env, capture_output=True, text=True, timeout=520)
+    assert r.returncode == 0, r.stdout[-3000:] + r.stderr[-3000:]
+    import json
+
+    rec = json.load(open(out))["tam_f64"]
+    for row in rec:
+        assert row["ref_f32_vs_f64_max_rel"] < 1e-5, row
+        assert row["ours_f32_vs_f64_max_rel"] < 1e-5, row
