@@ -1172,19 +1172,35 @@ def main():
         ds_mb = _sg(n_nodes=2500, avg_degree=12, feat_dim=17,
                     n_communities=4, anomaly_rate=0.08,
                     feature_noise=0.25, seed=2)
+        # batch_size sized so the hardcoded 150 batches/epoch never run
+        # past the train pool (the NaN pathology — see
+        # run_reference_minibatch docstring)
         with tempfile.TemporaryDirectory() as tmp_mb:
             print("[oracle] running reference src/main.py (minibatch "
-                  "GGAD): N=2500, 40 epochs x 150 batches")
-            mref = run_reference_minibatch(ds_mb, tmp_mb, num_epochs=40)
-        mours = run_ours_minibatch(ds_mb, mref, num_epochs=40)
-        print(f"[minibatch] final test AUROC ref {mref['final_auc']:.4f} "
-              f"ours {mours['final_auc']:.4f} | AP ref "
-              f"{mref['final_ap']:.4f} ours {mours['final_ap']:.4f} "
-              f"(metric-level: sampling RNG is independent)")
+                  "GGAD): N=2500, 12 epochs x 150 batches (healthy "
+                  "batch_size=4)")
+            mref = run_reference_minibatch(ds_mb, tmp_mb, num_epochs=12,
+                                           batch_size=4)
+        mexact = run_ours_minibatch_exact(ds_mb, mref)
+        rl = [x[0] for x in mref["batch_losses"]]
+        dl = [abs(a - b) for a, b in zip(rl, mexact["losses"])
+              if not np.isnan(a)]
+        print(f"[minibatch] EXACT trajectory: {len(dl)} batches, "
+              f"max |Δloss| {max(dl):.2e}; final AUROC ref "
+              f"{mref['final_auc']:.4f} exact {mexact['final_auc']:.4f}")
+        mours = run_ours_minibatch(ds_mb, mref, num_epochs=12,
+                                   batch_size=4)
+        print(f"[minibatch] sampled-trainer (fanout approx) final AUROC "
+              f"{mours['final_auc']:.4f} vs ref {mref['final_auc']:.4f}")
         minibatch_record = {
             "reference": {"final_auc": mref["final_auc"],
                           "final_ap": mref["final_ap"]},
-            "ours": mours,
+            "exact_replay": {"max_batch_loss_diff": max(dl),
+                             "max_batch_loss_diff_epoch0": max(dl[:150]),
+                             "n_batches": len(dl),
+                             "final_auc": mexact["final_auc"],
+                             "final_ap": mexact["final_ap"]},
+            "ours_sampled": mours,
         }
         if args.leg == "minibatch":
             with open(args.out, "w") as f:

@@ -30,12 +30,15 @@ def run_baseline_zoo(quick: bool) -> list:
         run_tam_baseline,
     )
 
-    datasets = ["photo", "reddit"]
+    # full benchmark coverage (round-5: elliptic/Amazon/t_finance rows)
+    datasets = [("photo", 1.0), ("reddit", 1.0), ("elliptic", 1.0),
+                ("Amazon", 1.0), ("t_finance", 0.25)]
     epochs = 20 if quick else 100
     tam_epochs = 40 if quick else 500
-    scale = 0.2 if quick else 1.0
     rows = []
-    for name in datasets:
+    for name, scale in datasets:
+        if quick:
+            scale = min(scale, 0.2)
         ds = load_dataset(name, synthetic_scale=scale, seed=0)
         print(f"=== baselines on {ds.name} ===", flush=True)
         runs = {
@@ -50,7 +53,8 @@ def run_baseline_zoo(quick: bool) -> list:
             "gaan": lambda: run_gaan(ds, num_epoch=epochs),
             "tam (TAM split)": lambda: run_tam_baseline(
                 ds, num_epoch=tam_epochs,
-                cutting=3 if quick else 8),
+                cutting=3 if quick else 8,
+                n_h=128 if ds.n_nodes > 20000 else 300),
         }
         for model, fn in runs.items():
             t0 = time.time()
@@ -61,6 +65,36 @@ def run_baseline_zoo(quick: bool) -> list:
             print(json.dumps(rec), flush=True)
             rows.append(rec)
     return rows
+
+
+def run_minibatch_row(quick: bool) -> dict:
+    """DGraph-scale quality row: the production MiniBatchTrainer on a
+    dgraph-shaped synthetic (round-5 RESULTS coverage item)."""
+    import numpy as np
+    import scipy.sparse as sp
+
+    from ggad_tpu.datasets.loaders import load_dataset
+    from ggad_tpu.datasets.splits import minibatch_split
+    from ggad_tpu.train.minibatch import MiniBatchTrainer
+
+    scale = 0.005 if quick else 0.02   # 0.02 × 3.7M ≈ 74K nodes
+    ds = load_dataset("dgraphfin", synthetic_scale=scale, seed=0)
+    adj = ds.adj + sp.eye(ds.n_nodes, format="csr", dtype=np.float32)
+    idx_train, idx_valid, idx_test, labels, idx_anom = minibatch_split(
+        ds.ano_labels, seed=0)
+    t0 = time.time()
+    tr = MiniBatchTrainer(
+        adj=adj, features=ds.features, labels=labels,
+        idx_train=idx_train, idx_anomaly=idx_anom,
+        idx_valid=idx_valid, idx_test=idx_test,
+        num_epochs=5 if quick else 30, valid_epochs=5)
+    res = tr.train(verbose=True)
+    return {"dataset": f"dgraphfin ({scale}x)", "model": "ggad-minibatch",
+            "graph": f"{ds.n_nodes}N/{ds.n_edges}E/{ds.feat_dim}F",
+            "auroc": round(res.test_metrics["auc"], 4),
+            "ap": round(res.test_metrics["ap"], 4),
+            "best_val_auc": round(res.best_val_auc, 4),
+            "wall_s": round(time.time() - t0, 1)}
 
 
 def main():
@@ -95,19 +129,31 @@ def main():
         print(f"=== {ds.name}: {ds.n_nodes}N {ds.n_edges}E "
               f"{ds.feat_dim}F ===", flush=True)
         t0 = time.time()
-        tr = FullBatchTrainer(
-            ds, num_epoch=epochs, eval_every=50, log_every=50,
-            scan_steps=25)
-        res = tr.train(verbose=True)
+        # 3 training seeds: quality on synthetic realizations is
+        # seed-dominated (photo spans 0.45-0.57 across seeds while the
+        # executed-oracle legs pin implementation parity to ~0.004
+        # AUROC) — report mean ± spread
+        aucs, aps, walls = [], [], []
+        for tseed in range(1 if args.quick else 3):
+            tr = FullBatchTrainer(
+                ds, num_epoch=epochs, eval_every=50, log_every=50,
+                scan_steps=25, seed=tseed)
+            res = tr.train(verbose=(tseed == 0))
+            aucs.append(res.final_auc)
+            aps.append(res.final_ap)
+            walls.append(res.wall_time_s)
+        import numpy as _np
+
         rec = {
             "dataset": name,
             "graph": f"{ds.n_nodes}N/{ds.n_edges}E/{ds.feat_dim}F",
             "scale": scale,
             "epochs": epochs or preset.num_epoch,
-            "auroc": round(res.final_auc, 4),
-            "ap": round(res.final_ap, 4),
+            "auroc": round(float(_np.mean(aucs)), 4),
+            "auroc_spread": round(float(_np.max(aucs) - _np.min(aucs)), 4),
+            "ap": round(float(_np.mean(aps)), 4),
             "wall_s": round(time.time() - t0, 1),
-            "train_wall_s": round(res.wall_time_s, 1),
+            "train_wall_s": round(float(_np.mean(walls)), 1),
         }
         print(json.dumps(rec), flush=True)
         results.append(rec)
@@ -118,11 +164,18 @@ def main():
                 "(`run.py:38-66`): lr 1e-3, epochs photo 100 / "
                 "elliptic 150 / reddit 300 / t_finance 500 / Amazon 800, "
                 "noise N(0.02, 0.01) for photo+reddit.\n\n")
-        f.write("| dataset | graph | epochs | AUROC | AP | train wall (s) |\n")
+        f.write("AUROC is the mean over 3 training seeds (± max-min "
+                "spread): synthetic-realization quality is "
+                "seed-dominated; implementation parity is pinned by "
+                "the executed-oracle legs (ORACLE.json, ~0.004 AUROC "
+                "at photo shape/budget).\n\n")
+        f.write("| dataset | graph | epochs | AUROC (±spread) | AP | "
+                "train wall (s) |\n")
         f.write("|---|---|---|---|---|---|\n")
         for r in results:
             f.write(f"| {r['dataset']} | {r['graph']} | {r['epochs']} | "
-                    f"{r['auroc']} | {r['ap']} | {r['train_wall_s']} |\n")
+                    f"{r['auroc']} (±{r['auroc_spread']}) | {r['ap']} | "
+                    f"{r['train_wall_s']} |\n")
         if args.baselines:
             zoo = run_baseline_zoo(args.quick)
             f.write("\n## Baseline zoo (same synthetic graphs)\n\n")
@@ -137,6 +190,17 @@ def main():
                 f.write(f"| {r['dataset']} | {r['model']} | {r['auroc']} "
                         f"| {r['ap']} | {r['wall_s']} |\n")
             results.extend(zoo)
+            mb = run_minibatch_row(args.quick)
+            f.write("\n## Mini-batch (DGraph-shaped)\n\n")
+            f.write("Production `MiniBatchTrainer` (sampled 2-hop, "
+                    "150+50 batches, best-val-AUC checkpoint).\n\n")
+            f.write("| dataset | graph | test AUROC | test AP | "
+                    "best val AUC | wall (s) |\n")
+            f.write("|---|---|---|---|---|---|\n")
+            f.write(f"| {mb['dataset']} | {mb['graph']} | {mb['auroc']} "
+                    f"| {mb['ap']} | {mb['best_val_auc']} | "
+                    f"{mb['wall_s']} |\n")
+            results.append(mb)
     with open("results.json", "w") as f:
         json.dump(results, f, indent=2)
     print(f"wrote {args.out} + results.json")
