@@ -35,11 +35,17 @@ from ggad_tpu.ops.spmm import spmm
 
 def _replace_rows_impl(emb, values, rows):
     n = emb.shape[0]
-    mask = jnp.zeros((n,), bool).at[rows].set(True)
+    # FMA form, not a select: jnp.where over the scattered mask (bool OR
+    # f32-compare) makes the remote TPU compiler fault at some shapes
+    # ("TPU worker crashed", reproduced at reddit-quick 2196x300 inside
+    # the full train step; the where-free a + m*(b-a) compiles and runs
+    # everywhere). Replaced rows differ from an exact select by <= 1 ulp
+    # of emb (v + (emb - emb) rounding); mask-0 rows are exact.
+    mask = jnp.zeros((n,), jnp.float32).at[rows].set(1.0)
     pos = jnp.zeros((n,), jnp.int32).at[rows].set(
         jnp.arange(rows.shape[0], dtype=jnp.int32))
     vals_full = values.at[pos].get(mode="promise_in_bounds")
-    return jnp.where(mask[:, None], vals_full, emb)
+    return emb + mask[:, None] * (vals_full - emb)
 
 
 @jax.custom_vjp
@@ -65,8 +71,9 @@ def _replace_rows_fwd(emb, values, rows):
 def _replace_rows_bwd(rows, g):
     import numpy as np
 
-    mask = jnp.zeros((g.shape[0],), bool).at[rows].set(True)
-    d_emb = jnp.where(mask[:, None], 0.0, g)
+    # arithmetic mask for the same codegen reason as the forward
+    mask = jnp.zeros((g.shape[0],), jnp.float32).at[rows].set(1.0)
+    d_emb = g * (1.0 - mask[:, None])
     d_vals = g.at[rows].get(mode="promise_in_bounds")
     return d_emb, d_vals, np.zeros(rows.shape, jax.dtypes.float0)
 
