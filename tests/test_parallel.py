@@ -402,6 +402,7 @@ def test_spmm_halo_seed_rows_matches_slice(mesh, rng):
     np.testing.assert_allclose(g_h, g_s, rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_halo_ggad_losses_match_flax(mesh):
     """The halo-distributed GGAD forward+losses must equal the
     single-device flax model + ggad_losses, same params, term by term
@@ -453,6 +454,7 @@ def test_halo_ggad_losses_match_flax(mesh):
             rtol=1e-4, atol=1e-5, err_msg=f"fast path: {field}")
 
 
+@pytest.mark.slow
 def test_halo_ggad_losses_match_flax_pallas_tiles(mesh):
     """Same equality with the per-shard BCSR (Pallas) local SpMMs."""
     from ggad_tpu.models.ggad import GGAD
@@ -613,6 +615,7 @@ def test_tensor_parallel_2d_mesh_matches_1d(mesh):
     assert loss_2d == pytest.approx(loss_1d, rel=1e-4)
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_entrypoint():
     import sys
 
@@ -879,6 +882,7 @@ def test_halo_bcsr_budget_degrades_to_xla():
     assert abs(float(l_deg.total) - float(l_xla.total)) < 1e-5
 
 
+@pytest.mark.slow
 def test_spmm_halo_ell_matches_xla_and_grads():
     """ELL halo local aggregation == XLA gather/segment halo path,
     values and gradients (the sparse-regime distributed SpMM)."""
