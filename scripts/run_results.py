@@ -58,7 +58,15 @@ def run_baseline_zoo(quick: bool) -> list:
         }
         for model, fn in runs.items():
             t0 = time.time()
-            res = fn()
+            try:
+                res = fn()
+            except Exception as e:   # noqa: BLE001 — tunnel HTTP 500s
+                print(f"[zoo] {name}/{model} FAILED: {e!r:.200}",
+                      flush=True)
+                rows.append({"dataset": name, "model": model,
+                             "auroc": float("nan"), "ap": float("nan"),
+                             "wall_s": round(time.time() - t0, 1)})
+                continue
             rec = {"dataset": name, "model": model,
                    "auroc": round(res.auc, 4), "ap": round(res.ap, 4),
                    "wall_s": round(time.time() - t0, 1)}
@@ -104,6 +112,9 @@ def main():
     ap.add_argument("--baselines", action="store_true",
                     help="also run the six-baseline zoo table")
     ap.add_argument("--out", default="RESULTS.md")
+    ap.add_argument("--ggad-from", default=None,
+                    help="JSON file of precomputed GGAD rows (resume a "
+                         "run whose zoo section failed)")
     args = ap.parse_args()
 
     from ggad_tpu.datasets.loaders import load_dataset
@@ -123,6 +134,9 @@ def main():
         runs = [(n, min(s, 0.2), 20) for n, s, _ in runs]
 
     results = []
+    if args.ggad_from:
+        results = json.load(open(args.ggad_from))
+        runs = []
     for name, scale, epochs in runs:
         preset = preset_for(name)
         ds = load_dataset(name, synthetic_scale=scale, seed=0)
