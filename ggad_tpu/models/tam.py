@@ -416,12 +416,24 @@ def run_tam(
     norm_stack = jax.vmap(lambda v: sym_normalize_vals(v, raw_adj))(val_stack)
 
     # ---- impl routing: block-diag MXU ensemble vs shared-ELL vmap ------
-    # 'bcsr' (default on TPU): every layer of every member runs in ONE
-    # block-diagonal tall-tile Pallas matmul; 'ell': the scatter-free
-    # shared-table path (default off-TPU). Identical trajectories
-    # (tested: impl equality on CPU interpret mode).
+    # 'bcsr' (TPU, tile-dense graphs): every layer of every member runs
+    # in ONE block-diagonal tall-tile Pallas matmul; 'ell': the
+    # scatter-free shared-table path (off-TPU, and tile-SPARSE graphs —
+    # at elliptic density the block-diag tile store is ~13 GB/member and
+    # OOMs the chip, round-5 zoo run). Identical trajectories (tested:
+    # impl equality on CPU interpret mode).
     if impl is None:
-        impl = "bcsr" if jax.default_backend() == "tpu" else "ell"
+        if jax.default_backend() != "tpu":
+            impl = "ell"
+        else:
+            e = raw_adj.n_edges
+            _row = np.asarray(raw_adj.row)[:e]
+            _col = np.asarray(raw_adj.col)[:e]
+            _npt = (raw_adj.n_nodes + 127) // 128
+            _tiles = np.unique(
+                (_row // 128).astype(np.int64) * _npt
+                + _col // 128).shape[0]
+            impl = "bcsr" if e / max(_tiles, 1) >= 8.0 else "ell"
     if impl == "bcsr":
         import optax
 

@@ -38,13 +38,20 @@ def blockwise_pair_reduce(emb: jax.Array, fn, block: int = 1024,
     n_blocks = n_pad // block
     col_ids = jnp.arange(block)
 
-    def body(acc, blk):
+    # rematerialized: without checkpoint the scan's backward saves every
+    # block's [N, block] similarity panel (46 x 190 MB = 8.7 GB at
+    # elliptic scale -> chip OOM, round-5 zoo run); recomputing s in the
+    # backward keeps memory O(N x block)
+    @jax.checkpoint
+    def panel(emb, embp, blk):
         e_blk = jax.lax.dynamic_slice(embp, (blk * block, 0), (block, d))
         mask = (blk * block + col_ids) < n
         s = jnp.dot(emb, e_blk.T, preferred_element_type=jnp.float32,
                     precision=precision)
-        acc = acc + jnp.sum(jnp.where(mask[None, :], fn(s), 0.0), axis=1)
-        return acc, None
+        return jnp.sum(jnp.where(mask[None, :], fn(s), 0.0), axis=1)
+
+    def body(acc, blk):
+        return acc + panel(emb, embp, blk), None
 
     acc, _ = jax.lax.scan(body, jnp.zeros(n, jnp.float32),
                           jnp.arange(n_blocks))
