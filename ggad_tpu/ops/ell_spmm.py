@@ -311,10 +311,8 @@ def _sigma_matmul(s: ELLSigma, x: jax.Array) -> jax.Array:
     cat = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
     out = cat.at[s.inv].get(mode="promise_in_bounds")
     if s.n_overflow:
-        gathered = x[s.ov_col] * s.ov_val[:, None]
-        out = out + jax.ops.segment_sum(
-            gathered, s.ov_row, num_segments=s.n_rows,
-            indices_are_sorted=True)
+        out = out + _overflow_spmm(s.ov_row, s.ov_col, s.ov_val, x,
+                                   s.n_rows)
     return out
 
 
@@ -443,6 +441,45 @@ def ell_pair_from_graph(g: Graph, *, layout: str = "flat",
                    n_nodes=g.n_nodes)
 
 
+
+_OV_CHUNK_ELEMS = 1 << 26   # cap the [E_ov, d] overflow gather at 256 MB
+
+
+def _overflow_spmm(ov_row, ov_col, ov_val, x, n_rows):
+    """Overflow-COO segment-sum with CHUNKED gathers: the naive
+    ``x[ov_col] * ov_val[:, None]`` materializes [E_ov, d] — 8 GB at
+    TAM-amazon density (mean degree ~330 spills most edges), a
+    round-5 chip OOM. Chunks keep it ≤ _OV_CHUNK_ELEMS elements;
+    per-chunk rows stay sorted so the segment promise holds."""
+    e, d = ov_row.shape[0], x.shape[1]
+    if e * d <= _OV_CHUNK_ELEMS:
+        gathered = x[ov_col] * ov_val[:, None]
+        return jax.ops.segment_sum(gathered, ov_row,
+                                   num_segments=n_rows,
+                                   indices_are_sorted=True)
+    chunk = max(_OV_CHUNK_ELEMS // d, 1)
+    n_full = e // chunk
+
+    def body(acc, i):
+        sl_r = jax.lax.dynamic_slice_in_dim(ov_row, i * chunk, chunk)
+        sl_c = jax.lax.dynamic_slice_in_dim(ov_col, i * chunk, chunk)
+        sl_v = jax.lax.dynamic_slice_in_dim(ov_val, i * chunk, chunk)
+        g = x[sl_c] * sl_v[:, None]
+        return acc + jax.ops.segment_sum(
+            g, sl_r, num_segments=n_rows, indices_are_sorted=True), None
+
+    acc0 = jnp.zeros((n_rows, d), jnp.float32) \
+        + 0.0 * x[0, 0].astype(jnp.float32)
+    out, _ = jax.lax.scan(body, acc0, jnp.arange(n_full))
+    rem = e - n_full * chunk
+    if rem:
+        g = x[ov_col[n_full * chunk:]] * ov_val[n_full * chunk:, None]
+        out = out + jax.ops.segment_sum(
+            g, ov_row[n_full * chunk:], num_segments=n_rows,
+            indices_are_sorted=True)
+    return out
+
+
 _UNROLL_K = 16    # unroll the slot sweeps up to this K (compile size)
 
 
@@ -479,10 +516,8 @@ def _ell_matmul(m: ELL, x: jax.Array) -> jax.Array:
             + 0.0 * xc[0, 0].astype(jnp.float32)
         out, _ = jax.lax.scan(body, acc0, (m.idx, m.val))
     if m.n_overflow:
-        gathered = x[m.ov_col] * m.ov_val[:, None]
-        out = out + jax.ops.segment_sum(
-            gathered, m.ov_row, num_segments=m.n_rows,
-            indices_are_sorted=True)
+        out = out + _overflow_spmm(m.ov_row, m.ov_col, m.ov_val, x,
+                                   m.n_rows)
     return out
 
 

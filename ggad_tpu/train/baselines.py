@@ -490,7 +490,7 @@ def run_tam_baseline(ds: GADDataset, *, n_h: int = 300, cutting: int = 8,
                      seed: int = 0, use_tam_split: bool = True,
                      eval_every: int | None = None,
                      verbose: bool = False,
-                     logger=None) -> BaselineResult:
+                     logger=None, **tam_kwargs) -> BaselineResult:
     """TAM driver. ``use_tam_split=True`` (default) reproduces TAM's own
     protocol — 80% labeled normals + active 15% real-anomaly
     contamination of the labeled set, contaminants removed from test
@@ -517,7 +517,8 @@ def run_tam_baseline(ds: GADDataset, *, n_h: int = 300, cutting: int = 8,
 
     res = run_tam(graph, raw_adj, ds.features, normal_idx,
                   n_h=n_h, cutting=cutting, n_tree=n_tree,
-                  num_epoch=num_epoch, lr=lr, seed=seed, verbose=verbose)
+                  num_epoch=num_epoch, lr=lr, seed=seed, verbose=verbose,
+                  **tam_kwargs)
     history = []
     stride = max(int(eval_every or 1), 1)
     for r in range(0, cutting, stride):

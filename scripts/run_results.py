@@ -51,10 +51,14 @@ def run_baseline_zoo(quick: bool) -> list:
             "aegis (faithful)": lambda: run_aegis(
                 ds, num_epoch=epochs, faithful=True),
             "gaan": lambda: run_gaan(ds, num_epoch=epochs),
+            # n_h 128 on big-N OR dense-E graphs: the 300-wide
+            # block-diagonal Mosaic kernel exceeds the remote AOT
+            # compile helper at amazon/t_finance density (HTTP 500)
             "tam (TAM split)": lambda: run_tam_baseline(
                 ds, num_epoch=tam_epochs,
                 cutting=3 if quick else 8,
-                n_h=128 if ds.n_nodes > 20000 else 300),
+                n_h=128 if (ds.n_nodes > 20000
+                            or ds.n_edges > 1_000_000) else 300),
         }
         for model, fn in runs.items():
             t0 = time.time()

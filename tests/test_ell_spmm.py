@@ -257,3 +257,24 @@ def test_ell_subset_affinity_bf16_tables_close(rng):
         ell_affinity_subset(g, idx, dtype="bfloat16"), emb)
     np.testing.assert_allclose(np.asarray(a16), np.asarray(a32),
                                rtol=2e-2, atol=2e-2)
+
+
+def test_overflow_spmm_chunked_matches_unchunked(rng, monkeypatch):
+    """The chunked overflow path (forced by a tiny element cap) must
+    equal the single-gather path — it exists because [E_ov, d]
+    materialization OOMs at TAM-amazon spill density (round 5)."""
+    import ggad_tpu.ops.ell_spmm as E
+
+    r = np.random.default_rng(11)
+    e, n, d = 1000, 64, 7
+    row = np.sort(r.integers(0, n, e)).astype(np.int32)
+    col = r.integers(0, n, e).astype(np.int32)
+    val = r.standard_normal(e).astype(np.float32)
+    x = jnp.asarray(r.standard_normal((n, d)), jnp.float32)
+    full = E._overflow_spmm(jnp.asarray(row), jnp.asarray(col),
+                            jnp.asarray(val), x, n)
+    monkeypatch.setattr(E, "_OV_CHUNK_ELEMS", 256)
+    chunked = E._overflow_spmm(jnp.asarray(row), jnp.asarray(col),
+                               jnp.asarray(val), x, n)
+    np.testing.assert_allclose(np.asarray(chunked), np.asarray(full),
+                               rtol=1e-5, atol=1e-5)
