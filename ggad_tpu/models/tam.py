@@ -445,23 +445,38 @@ def run_tam(
                                    raw_adj.n_nodes)
         model = TAMEncoder(n_h=n_h)
         tx = optax.adam(lr)
+        rng_before = rng
         rng, ikey = jax.random.split(rng)
         member_keys = jax.random.split(ikey, n_members)
-        message, history = _train_ensemble_bcsr(
-            model, tx, raw_adj, raw_ell, x, normal_idx, norm_stack,
-            member_keys, n_h=n_h, num_epoch=num_epoch,
-            tile_rows=tile_rows, verbose=verbose,
-            params_override=member_params_override,
-            loss_record=loss_record)
-        messages = np.asarray(message)
-        per_cut = messages.reshape(cutting, n_tree, -1).mean(axis=1)
-        running = np.cumsum(per_cut, axis=0) / np.arange(
-            1, cutting + 1)[:, None]
-        final = 1.0 - np.asarray(minmax(jnp.asarray(running[-1])))
-        per_round = 1.0 - np.stack([
-            np.asarray(minmax(jnp.asarray(r))) for r in running])
-        return TAMResult(scores=final, per_round_scores=per_round,
-                         member_messages=messages, loss_history=history)
+        try:
+            message, history = _train_ensemble_bcsr(
+                model, tx, raw_adj, raw_ell, x, normal_idx, norm_stack,
+                member_keys, n_h=n_h, num_epoch=num_epoch,
+                tile_rows=tile_rows, verbose=verbose,
+                params_override=member_params_override,
+                loss_record=loss_record)
+        except Exception as err:  # noqa: BLE001
+            # amazon-density block-diag programs can exceed the remote
+            # AOT compile helper (HTTP 500, round-5 zoo) — the failure
+            # surfaces at the FIRST epoch_block compile, so no training
+            # state is lost; reroute to the shared-ELL ensemble (same
+            # trajectories, impl-equality tested) rather than dying.
+            print(f"[tam] block-diag BCSR ensemble failed "
+                  f"({err!r:.160}) — falling back to impl='ell'",
+                  flush=True)
+            message = None
+            rng = rng_before   # identical member inits to a pure ELL run
+        if message is not None:
+            messages = np.asarray(message)
+            per_cut = messages.reshape(cutting, n_tree, -1).mean(axis=1)
+            running = np.cumsum(per_cut, axis=0) / np.arange(
+                1, cutting + 1)[:, None]
+            final = 1.0 - np.asarray(minmax(jnp.asarray(running[-1])))
+            per_round = 1.0 - np.stack([
+                np.asarray(minmax(jnp.asarray(r))) for r in running])
+            return TAMResult(scores=final, per_round_scores=per_round,
+                             member_messages=messages,
+                             loss_history=history)
 
     def to_planes(v, fm, bm):
         """Edge-order values → per-member ELL value planes."""

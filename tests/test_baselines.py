@@ -190,6 +190,29 @@ class TestTAM:
                                    ell.per_round_scores,
                                    rtol=1e-4, atol=1e-5)
 
+    def test_tam_bcsr_failure_falls_back_to_ell(self, small_ds,
+                                                monkeypatch):
+        """A block-diag compile failure (amazon-density programs can
+        exceed the remote AOT compile helper, round-5 zoo) reroutes to
+        the shared-ELL ensemble instead of dying."""
+        import ggad_tpu.models.tam as tam_mod
+        from ggad_tpu.models.tam import run_tam
+
+        def boom(*a, **k):
+            raise RuntimeError("HTTP 500: tpu_compile_helper")
+
+        monkeypatch.setattr(tam_mod, "_train_ensemble_bcsr", boom)
+        g = from_scipy(small_ds.adj)
+        raw = add_self_loops(g)
+        kw = dict(n_h=12, cutting=2, n_tree=1, num_epoch=4, lr=1e-4,
+                  seed=0)
+        res = run_tam(g, raw, small_ds.features,
+                      small_ds.normal_label_idx, impl="bcsr", **kw)
+        ell = run_tam(g, raw, small_ds.features,
+                      small_ds.normal_label_idx, impl="ell", **kw)
+        np.testing.assert_allclose(res.scores, ell.scores,
+                                   rtol=1e-5, atol=1e-6)
+
     def test_tam_member_chunk_invariant(self, small_ds):
         """Full-ensemble vmap (shared-structure ELL) must reproduce the
         sequential member_chunk=1 trajectories (the reference trains
