@@ -84,10 +84,15 @@ def rerun_zoo_row(name, model, quick):
         "aegis (faithful)": lambda: run_aegis(ds, num_epoch=epochs,
                                               faithful=True),
         "gaan": lambda: run_gaan(ds, num_epoch=epochs),
+        # dense-E graphs: n_h=128 AND sequential members — the 8-member
+        # vmapped program (either impl) exceeds the remote AOT compile
+        # helper at amazon/t_finance density (round-5 zoo, HTTP 500)
         "tam (TAM split)": lambda: run_tam_baseline(
             ds, num_epoch=tam_epochs, cutting=3 if quick else 8,
             n_h=128 if (ds.n_nodes > 20000
-                        or ds.n_edges > 1_000_000) else 300),
+                        or ds.n_edges > 1_000_000) else 300,
+            **({"member_chunk": 1, "impl": "ell"}
+               if ds.n_edges > 1_000_000 else {})),
     }
     t0 = time.time()
     try:
@@ -136,7 +141,15 @@ def write_outputs(ggad, zoo, mb, out="RESULTS.md"):
         if mb is not None:
             f.write("\n## Mini-batch (DGraph-shaped)\n\n")
             f.write("Production `MiniBatchTrainer` (sampled 2-hop, "
-                    "150+50 batches, best-val-AUC checkpoint).\n\n")
+                    "150+50 batches, best-val-AUC checkpoint). "
+                    "NOTE: on the SYNTHETIC dgraph-shaped graph the "
+                    "anomaly signal is weakly feature-aligned at 17 dims "
+                    "- val AUROC peaks near init and declines as the "
+                    "(contaminated, pseudo-relabeled) train loss falls, "
+                    "so this row is a data-realism floor, not an "
+                    "implementation number; implementation parity is "
+                    "pinned by the executed src/main.py oracle leg "
+                    "(ORACLE.json, per-batch loss parity).\n\n")
             f.write("| dataset | graph | test AUROC | test AP | "
                     "best val AUC | wall (s) |\n")
             f.write("|---|---|---|---|---|---|\n")

@@ -53,12 +53,16 @@ def run_baseline_zoo(quick: bool) -> list:
             "gaan": lambda: run_gaan(ds, num_epoch=epochs),
             # n_h 128 on big-N OR dense-E graphs: the 300-wide
             # block-diagonal Mosaic kernel exceeds the remote AOT
-            # compile helper at amazon/t_finance density (HTTP 500)
+            # compile helper at amazon/t_finance density (HTTP 500);
+            # at that density even the 8-member vmapped ELL program
+            # does — sequential members (member_chunk=1) compile
             "tam (TAM split)": lambda: run_tam_baseline(
                 ds, num_epoch=tam_epochs,
                 cutting=3 if quick else 8,
                 n_h=128 if (ds.n_nodes > 20000
-                            or ds.n_edges > 1_000_000) else 300),
+                            or ds.n_edges > 1_000_000) else 300,
+                **({"member_chunk": 1, "impl": "ell"}
+                   if ds.n_edges > 1_000_000 else {})),
         }
         for model, fn in runs.items():
             t0 = time.time()
@@ -211,7 +215,15 @@ def main():
             mb = run_minibatch_row(args.quick)
             f.write("\n## Mini-batch (DGraph-shaped)\n\n")
             f.write("Production `MiniBatchTrainer` (sampled 2-hop, "
-                    "150+50 batches, best-val-AUC checkpoint).\n\n")
+                    "150+50 batches, best-val-AUC checkpoint). "
+                    "NOTE: on the SYNTHETIC dgraph-shaped graph the "
+                    "anomaly signal is weakly feature-aligned at 17 dims "
+                    "- val AUROC peaks near init and declines as the "
+                    "(contaminated, pseudo-relabeled) train loss falls, "
+                    "so this row is a data-realism floor, not an "
+                    "implementation number; implementation parity is "
+                    "pinned by the executed src/main.py oracle leg "
+                    "(ORACLE.json, per-batch loss parity).\n\n")
             f.write("| dataset | graph | test AUROC | test AP | "
                     "best val AUC | wall (s) |\n")
             f.write("|---|---|---|---|---|---|\n")
